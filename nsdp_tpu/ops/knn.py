@@ -1,0 +1,100 @@
+"""Blockwise k-nearest-neighbour search on TPU.
+
+Replaces the reference's ``square_distance`` + full ``argsort`` pattern
+(reference ``model/utils.py:39-55`` plus ``model/encoder/blocks.py:101-102``),
+which materialises a B x N x M distance matrix and sorts all M columns when
+only k are needed.  Here distances are computed in query chunks with the
+matmul identity ``|q - p|^2 = |q|^2 + |p|^2 - 2 q.p`` so the dominant cost is
+an MXU matmul, and ``lax.top_k`` extracts the k smallest per chunk — the full
+N x M matrix never exists and no O(M log M) sort is performed.
+
+Like the reference's argsort-based kNN, a query point contained in ``points``
+returns itself first (self-distance 0), and ties prefer the lower index.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def square_distance(src: jax.Array, dst: jax.Array) -> jax.Array:
+    """Pairwise squared euclidean distance, (B, N, C) x (B, M, C) -> (B, N, M).
+
+    Kept for API parity with the reference (``model/utils.py:39-55``); prefer
+    :func:`knn` which never materialises the full matrix.
+    """
+    d2 = (
+        jnp.sum(src * src, axis=-1)[..., :, None]
+        + jnp.sum(dst * dst, axis=-1)[..., None, :]
+        - 2.0
+        * jnp.einsum(
+            "bnc,bmc->bnm", src, dst, precision=jax.lax.Precision.HIGHEST
+        )
+    )
+    return jnp.maximum(d2, 0.0)
+
+
+@partial(jax.jit, static_argnames=("k", "chunk_size", "return_dist"))
+def knn(
+    query: jax.Array,
+    points: jax.Array,
+    k: int,
+    chunk_size: int = 1024,
+    return_dist: bool = False,
+):
+    """Indices of the k nearest points for each query.
+
+    Args:
+      query: (B, Nq, C) query positions.
+      points: (B, M, C) reference positions.
+      k: neighbourhood size (static).
+      chunk_size: query-axis tile; bounds peak memory at B*chunk*M floats.
+      return_dist: also return the squared distances.
+
+    Returns:
+      (B, Nq, k) int32 indices, ordered by increasing distance
+      (and (B, Nq, k) squared distances if ``return_dist``).
+    """
+    B, Nq, C = query.shape
+    M = points.shape[1]
+    if k > M:
+        raise ValueError(f"k={k} > number of points {M}")
+
+    query = query.astype(jnp.float32)
+    points = points.astype(jnp.float32)
+    p_sq = jnp.sum(points * points, axis=-1)  # (B, M)
+
+    n_chunks = -(-Nq // chunk_size)
+    padded = n_chunks * chunk_size
+    if padded != Nq:
+        query_p = jnp.pad(query, ((0, 0), (0, padded - Nq), (0, 0)))
+    else:
+        query_p = query
+    # (n_chunks, B, chunk, C): scan over chunks keeps the live distance block
+    # at B x chunk x M.
+    chunks = jnp.moveaxis(
+        query_p.reshape(B, n_chunks, chunk_size, C), 1, 0
+    )
+
+    def one_chunk(q):
+        # q: (B, chunk, C)
+        # HIGHEST precision: the default (bf16-accumulated on MXU) perturbs
+        # distances by ~1e-1 at unit scale, enough to reorder near neighbours.
+        d2 = (
+            jnp.sum(q * q, axis=-1)[..., None]
+            + p_sq[:, None, :]
+            - 2.0
+            * jnp.einsum(
+                "bnc,bmc->bnm", q, points, precision=jax.lax.Precision.HIGHEST
+            )
+        )
+        neg, idx = jax.lax.top_k(-d2, k)  # ties -> lower index first
+        return (-neg, idx.astype(jnp.int32))
+
+    dists, idxs = jax.lax.map(one_chunk, chunks)
+    idxs = jnp.moveaxis(idxs, 0, 1).reshape(B, padded, k)[:, :Nq]
+    if return_dist:
+        dists = jnp.moveaxis(dists, 0, 1).reshape(B, padded, k)[:, :Nq]
+        return idxs, jnp.maximum(dists, 0.0)
+    return idxs
