@@ -1,0 +1,101 @@
+"""Model builders.
+
+``build_model(config)`` dispatches on ``config['model']['type']`` exactly like
+the reference (``model/__init__.py:43-118``):
+
+* ``forward``   -> DeformationNetwork(no_input_corr=False)
+* ``backward``  -> DeformationNetwork(no_input_corr=True)
+* ``arbitrary`` -> FlowArbitrary(backward_net, forward_net)
+
+Returns the (unbound) flax module; parameter initialisation / checkpoint
+loading lives in :mod:`nsdp_tpu.training`.
+"""
+
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+
+from nsdp_tpu.models.decoders import (
+    CrossTransformerDecoder,
+    PointInterpDecoder,
+    decoder_dict,
+)
+from nsdp_tpu.models.deformation import (
+    DeformationNetwork,
+    FlowArbitrary,
+    compute_l2_error,
+)
+from nsdp_tpu.models.encoders import (
+    PointNetPlusPlusEncoder,
+    PointTransformerEncoder,
+    encoder_dict,
+)
+
+__all__ = [
+    "build_model",
+    "build_deformation_network",
+    "DeformationNetwork",
+    "FlowArbitrary",
+    "PointTransformerEncoder",
+    "PointNetPlusPlusEncoder",
+    "CrossTransformerDecoder",
+    "PointInterpDecoder",
+    "compute_l2_error",
+    "encoder_dict",
+    "decoder_dict",
+]
+
+
+def _feature_dims(model_cfg: Dict[str, Any], no_input_corr: bool):
+    """Encoder feature configuration (reference ``deformation_networks.py:16-30``)."""
+    use_normals = model_cfg.get("use_normals", False)
+    if no_input_corr:
+        if use_normals:
+            return True, 3
+        return False, 0
+    if use_normals:
+        return True, 7
+    return True, 4
+
+
+def build_deformation_network(
+    config: Dict[str, Any],
+    no_input_corr: bool = False,
+    dtype: Optional[jnp.dtype] = None,
+) -> DeformationNetwork:
+    """Construct a single encoder+decoder deformation network from a config."""
+    model_cfg = config["model"]
+    has_features, inp_feat_dim = _feature_dims(model_cfg, no_input_corr)
+
+    encoder_cls = encoder_dict[model_cfg["encoder"]]
+    encoder = encoder_cls(
+        has_features=has_features,
+        inp_feat_dim=inp_feat_dim,
+        dtype=dtype,
+        **model_cfg["encoder_kwargs"],
+    )
+    decoder_cls = decoder_dict[model_cfg["decoder"]]
+    decoder = decoder_cls(dtype=dtype, **model_cfg["decoder_kwargs"])
+
+    return DeformationNetwork(
+        encoder=encoder, decoder=decoder, no_input_corr=no_input_corr
+    )
+
+
+def build_model(config: Dict[str, Any], dtype: Optional[jnp.dtype] = None):
+    """Build the flax module for ``config['model']['type']``."""
+    model_type = config["model"]["type"]
+    if model_type == "forward":
+        return build_deformation_network(config, no_input_corr=False, dtype=dtype)
+    if model_type == "backward":
+        return build_deformation_network(config, no_input_corr=True, dtype=dtype)
+    if model_type == "arbitrary":
+        return FlowArbitrary(
+            model_canonicalize=build_deformation_network(
+                config, no_input_corr=True, dtype=dtype
+            ),
+            model_deform=build_deformation_network(
+                config, no_input_corr=False, dtype=dtype
+            ),
+        )
+    raise NotImplementedError(f"unknown model type {model_type!r}")

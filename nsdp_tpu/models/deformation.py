@@ -1,0 +1,86 @@
+"""Deformation network: encoder conditioning + neural-field decoding.
+
+TPU re-design of the reference's ``Deformation_Networks``
+(``model/deformation_networks.py:12-60``).
+
+Input contract (identical to the reference):
+  * ``surface_samples_inputs`` is (B, N, 7):
+    channels 0:3 source surface xyz, 3:6 target xyz * handle-mask, 6:7 mask.
+  * ``no_input_corr=True`` ("backward" net): the encoder sees only the source
+    xyz (channels 0:3) — it canonicalises a pose without correspondence.
+  * ``no_input_corr=False`` ("forward" net): the encoder sees all 7 channels
+    (xyz + 4 feature channels) — it deforms canonical geometry toward the
+    partially-specified target.
+  * ``points`` (B, Q, 3) are arbitrary query positions; the output is their
+    deformed absolute position (B, Q, out_dim).
+
+Note: the reference's ``use_normals`` flag is accepted for config parity but
+its backward-with-normals combination is inconsistent in the reference (the
+encoder is built for 3 extra channels that are then sliced away); only the
+shipped-config behaviour (``use_normals: false``) is exercised.
+"""
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as fnn
+
+
+def compute_l2_error(points_pred, points_gt):
+    """0.5 * mean squared deformation error (reference ``model/utils.py:8-11``)."""
+    delta = points_pred - points_gt
+    return jnp.mean(0.5 * jnp.sum(delta * delta, axis=-1))
+
+
+class DeformationNetwork(fnn.Module):
+    """One encoder + one decoder; the unit composed by :class:`FlowArbitrary`."""
+
+    encoder: fnn.Module
+    decoder: fnn.Module
+    no_input_corr: bool = False
+
+    def __call__(self, points, surface_samples_inputs, train: bool = False):
+        if self.no_input_corr:
+            conditioning = surface_samples_inputs[:, :, 0:3]
+        else:
+            conditioning = surface_samples_inputs
+        encoding = self.encoder(conditioning, train=train)
+        return self.decoder(points, encoding, train=train)
+
+
+class FlowArbitrary(fnn.Module):
+    """Two-stage arbitrary-pose deformation: source -> canonical -> target.
+
+    Reference ``model/flow_arbitrary.py:7-27``. One call runs the full
+    composition — three encoder+decoder passes — as a single traced function,
+    so XLA schedules all three passes into one program:
+
+    1. backward net canonicalises the space samples (conditioned on the
+       source surface);
+    2. backward net canonicalises the source surface itself;
+    3. forward net deforms the canonicalised space samples toward the target,
+       conditioned on [canonicalised surface, target surface, handle mask].
+    """
+
+    model_canonicalize: fnn.Module  # "backward" net (no_input_corr=True)
+    model_deform: fnn.Module  # "forward" net (no_input_corr=False)
+
+    def __call__(
+        self,
+        space_samples_src,
+        surface_samples_src,
+        surface_samples_tgt,
+        cano_handle_sample_mask,
+        train: bool = False,
+    ):
+        space_cano = self.model_canonicalize(
+            space_samples_src, surface_samples_src, train=train
+        )
+        surface_cano = self.model_canonicalize(
+            surface_samples_src, surface_samples_src, train=train
+        )
+        conditioning = jnp.concatenate(
+            [surface_cano, surface_samples_tgt, cano_handle_sample_mask],
+            axis=-1,
+        )
+        return self.model_deform(space_cano, conditioning, train=train)

@@ -1,0 +1,38 @@
+"""Train state: a pytree bundling params, BN stats and optimizer state."""
+
+from typing import Any
+
+import jax
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+
+@struct.dataclass
+class TrainState:
+    """Immutable training state threaded through the jitted step."""
+
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def create_train_state(model, rng, example_inputs, tx) -> TrainState:
+    """Initialise parameters by tracing the model once on example inputs.
+
+    Args:
+      model: unbound flax module.
+      rng: PRNG key.
+      example_inputs: tuple of positional inputs for ``model.init``.
+      tx: optax gradient transformation (LR-less; see ``optim``).
+    """
+    variables = model.init(rng, *example_inputs, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        step=jax.numpy.zeros((), jax.numpy.int32),
+    )

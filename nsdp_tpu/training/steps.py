@@ -1,0 +1,145 @@
+"""Jitted train / validate / test steps.
+
+The reference exposes per-model-type closures
+(``train/validate/test_on_batch_with_cano`` in
+``model/deformation_networks.py:63-109`` and ``..._with_arbitrary`` in
+``model/flow_arbitrary.py:30-85``).  Here each becomes a single jitted
+function: forward, loss, backward and the optimizer update all trace into one
+XLA program; the train step donates the state buffers so parameters are
+updated in place on device.
+
+Batch dict contract (same keys the reference datasets emit):
+  * ``surface_samples_inputs`` (B, N, 7)
+  * ``space_samples_src`` / ``space_samples_tgt`` (B, Q, 3)
+"""
+
+from functools import partial
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from nsdp_tpu.models.deformation import compute_l2_error
+from nsdp_tpu.training.state import TrainState
+
+
+def _split_inputs(surface_samples_inputs):
+    """7-channel conditioning -> (src xyz, tgt xyz, handle mask)."""
+    return (
+        surface_samples_inputs[:, :, 0:3],
+        surface_samples_inputs[:, :, 3:6],
+        surface_samples_inputs[:, :, 6:7],
+    )
+
+
+def make_steps(model, model_type: str, tx) -> Dict[str, Any]:
+    """Build the jitted step functions for a model.
+
+    Args:
+      model: bound-free flax module (DeformationNetwork or FlowArbitrary).
+      model_type: 'forward' | 'backward' | 'arbitrary'.
+      tx: LR-less optax transformation from ``optimizer_factory``.
+
+    Returns:
+      dict with ``train_step(state, batch, lr)``, ``validate_step(state,
+      batch)``, and ``predict(state, points, surface_samples_inputs)`` (the
+      deformation-field evaluation used by test/run).
+    """
+    arbitrary = model_type == "arbitrary"
+
+    def forward(params, batch_stats, points, surface_samples_inputs, train):
+        variables = {"params": params, "batch_stats": batch_stats}
+        if arbitrary:
+            src, tgt, mask = _split_inputs(surface_samples_inputs)
+            args = (points, src, tgt, mask)
+        else:
+            args = (points, surface_samples_inputs)
+        if train:
+            return model.apply(
+                variables, *args, train=True, mutable=["batch_stats"]
+            )
+        return model.apply(variables, *args, train=False), None
+
+    def loss_fn(params, batch_stats, batch):
+        pred, mutated = forward(
+            params,
+            batch_stats,
+            batch["space_samples_src"],
+            batch["surface_samples_inputs"],
+            train=True,
+        )
+        loss = compute_l2_error(pred, batch["space_samples_tgt"])
+        return loss, mutated["batch_stats"]
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch, lr):
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(
+                params=params,
+                batch_stats=new_stats,
+                opt_state=opt_state,
+                step=state.step + 1,
+            ),
+            loss,
+        )
+
+    @jax.jit
+    def validate_step(state: TrainState, batch):
+        pred, _ = forward(
+            state.params,
+            state.batch_stats,
+            batch["space_samples_src"],
+            batch["surface_samples_inputs"],
+            train=False,
+        )
+        return compute_l2_error(pred, batch["space_samples_tgt"])
+
+    @jax.jit
+    def predict(state: TrainState, points, surface_samples_inputs):
+        """Evaluate the deformation field at arbitrary query points."""
+        pred, _ = forward(
+            state.params, state.batch_stats, points, surface_samples_inputs,
+            train=False,
+        )
+        return pred
+
+    return {
+        "train_step": train_step,
+        "validate_step": validate_step,
+        "predict": predict,
+    }
+
+
+def test_on_batch(steps, state, batch, compute_loss: bool = True):
+    """Reference ``test_on_batch_*`` semantics: predict deformed surface
+    samples and deformed full-resolution vertices, stash them in the batch
+    dict, optionally compute the vertex L2 loss.
+
+    For the 'arbitrary' model the queried source points are the *surface*
+    samples (not space samples); for forward/backward they are too
+    (reference ``deformation_networks.py:91-109``, ``flow_arbitrary.py:66-85``).
+    """
+    inputs = batch["surface_samples_inputs"]
+    surf_src = inputs[:, :, 0:3]
+    batch["surface_samples_tgt_pred"] = steps["predict"](state, surf_src, inputs)
+    if "verts_src" in batch:
+        batch["verts_tgt_pred"] = steps["predict"](
+            state, batch["verts_src"], inputs
+        )
+        if compute_loss and "verts_tgt" in batch:
+            mask = batch.get("verts_valid_mask")
+            pred, tgt = batch["verts_tgt_pred"], batch["verts_tgt"]
+            if mask is not None:
+                delta2 = 0.5 * jnp.sum((pred - tgt) ** 2, axis=-1) * mask
+                loss = jnp.sum(delta2) / jnp.maximum(jnp.sum(mask), 1.0)
+            else:
+                loss = compute_l2_error(pred, tgt)
+            return float(loss), batch
+    return 0.0, batch
