@@ -1,0 +1,190 @@
+"""Host-side numpy transforms of the data pipeline.
+
+Functional equivalents of the reference's ``dataset/utils.py:8-147``: npz
+loading, coordinate fixes, shared-permutation subsampling, bbox-rule handle
+masks, source noise, KD-tree partial-shape holes, and the user-defined handle
+synthesis used by interactive editing.
+"""
+
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+from scipy.spatial import KDTree
+
+from nsdp_tpu.utils import meshio
+
+
+# ---------------------------------------------------------------------------
+# File loading
+# ---------------------------------------------------------------------------
+
+def load_npz_surface_flow(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    data = np.load(path)
+    return data["points"].astype(np.float32), data["normals"].astype(np.float32)
+
+
+def load_npz_space_flow(path: str) -> np.ndarray:
+    return np.load(path)["points"].astype(np.float32)
+
+
+def load_mesh_info(path: str):
+    """(verts f32, bidirectional edges i64, faces i64) — reference contract."""
+    verts, faces = meshio.load_mesh(path)
+    edges = meshio.edges_bidirectional(faces)
+    return verts.astype(np.float32), edges, faces.astype(np.int64)
+
+
+def load_norm_params(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Load the 4x4 ``orig_to_gaps.txt`` normalisation matrix + inverse."""
+    orig2world = np.reshape(np.loadtxt(path), [4, 4]).astype(np.float32)
+    world2orig = np.linalg.inv(orig2world).astype(np.float32)
+    return orig2world, world2orig
+
+
+def fix_coord_system(points: np.ndarray) -> np.ndarray:
+    """(x, y, z) -> (x, -z, y), the DeformationTransfer axis convention."""
+    return np.ascontiguousarray(
+        np.stack([points[:, 0], -points[:, 2], points[:, 1]], axis=1)
+    )
+
+
+def normalize_origin_mesh(vertices: np.ndarray, orig2world: np.ndarray):
+    return (orig2world[:3, :3] @ vertices.T + orig2world[:3, 3:4]).T
+
+
+# ---------------------------------------------------------------------------
+# Sampling / masking transforms
+# ---------------------------------------------------------------------------
+
+def subsample_shared(
+    arrays,
+    num_samples: int,
+    idxs: Optional[np.ndarray] = None,
+    rng: Optional[np.random.RandomState] = None,
+):
+    """Subsample several aligned arrays with one shared permutation.
+
+    The shared permutation preserves the cross-pose point correspondence the
+    offline pipeline baked in (SURVEY.md §3.5 "correspondence invariant").
+    """
+    rng = rng or np.random
+    n = arrays[0].shape[0]
+    if idxs is None:
+        idxs = rng.permutation(n)[:num_samples]
+    return [a[idxs] for a in arrays], idxs
+
+
+def maybe_subsample(arrays, num_samples, rng=None):
+    """Subsample only when there are more points than requested (space flow)."""
+    if arrays[0].shape[0] > num_samples:
+        out, _ = subsample_shared(arrays, num_samples, rng=rng)
+        return out
+    return list(arrays)
+
+
+def handle_mask_bbox(
+    points_cano: np.ndarray,
+    bbox_min: np.ndarray,
+    bbox_max: np.ndarray,
+    partial_range: float,
+) -> np.ndarray:
+    """Canonical-pose handle mask: head / tail / feet slabs of the bbox.
+
+    y < min+r (head), y > max-r (tail), z < min+r (feet) — the quadruped
+    convention of the reference (``dataset/utils.py:56-70``).
+    """
+    head = points_cano[:, 1] < bbox_min[1] + partial_range
+    tail = points_cano[:, 1] > bbox_max[1] - partial_range
+    feet = points_cano[:, 2] < bbox_min[2] + partial_range
+    return head | tail | feet
+
+
+def add_noise(points: np.ndarray, noise_level: float, rng=None) -> np.ndarray:
+    rng = rng or np.random
+    return points + noise_level * rng.randn(*points.shape).astype(np.float32)
+
+
+def partial_shape_indices(
+    points: np.ndarray,
+    handle_mask: np.ndarray,
+    partial_shape_ratio: float,
+    num_seeds: int = 5,
+    rng=None,
+) -> np.ndarray:
+    """Indices that survive hole-cutting on non-handle regions.
+
+    ``num_seeds`` KD-tree holes are cut around random non-handle seeds
+    (reference ``dataset/utils.py:79-101``).
+    """
+    n = len(points)
+    if partial_shape_ratio >= 1.0:
+        return np.arange(n)
+    rng = rng or np.random
+    hole_ratio = 1.0 - partial_shape_ratio
+    per_hole = int(hole_ratio * n // num_seeds)
+    non_handle = points[~handle_mask]
+    seed_sel = rng.permutation(len(non_handle))[:num_seeds]
+    seeds = non_handle[seed_sel]
+    tree = KDTree(points)
+    _, remove = tree.query(seeds, k=per_hole)
+    keep = set(range(n)) - set(np.asarray(remove).reshape(-1).tolist())
+    return np.array(sorted(keep))
+
+
+def user_defined_handles(
+    userhandle_cfg: Dict,
+    verts_cano: np.ndarray,
+    bbox_min: np.ndarray,
+    bbox_max: np.ndarray,
+    verts_src: np.ndarray,
+    partial_range: float,
+):
+    """Interactive-editing target synthesis.
+
+    Selects one of the named handle regions (head / tail / one of four feet,
+    via bbox-slab rules on the canonical pose) and rigidly translates it by
+    the configured (xtrans, ytrans, ztrans), producing the synthetic target.
+    Returns (full handle mask, synthesised target verts) — reference
+    ``dataset/utils.py:109-147``.
+    """
+    r = partial_range
+    head = verts_cano[:, 1] < bbox_min[1] + r
+    if userhandle_cfg.get("cliptail", False):
+        tail = (verts_cano[:, 1] > bbox_max[1] - r) & (verts_cano[:, 2] > -r)
+    else:
+        tail = verts_cano[:, 1] > bbox_max[1] - r
+    feet = verts_cano[:, 2] < bbox_min[2] + r
+    handle_mask = head | tail | feet
+
+    left = feet & (verts_cano[:, 0] > 0)
+    right = feet & (verts_cano[:, 0] < 0)
+    front = feet & (verts_cano[:, 1] < 0)
+    behind = feet & (verts_cano[:, 1] > 0)
+
+    region_masks = {
+        "head": head,
+        "tail": tail,
+        "frontleftfoot": left & front,
+        "frontrightfoot": right & front,
+        "behindleftfoot": left & behind,
+        "behindrightfoot": right & behind,
+    }
+    move_mask = None
+    for name, mask in region_masks.items():
+        if userhandle_cfg.get(name, False):
+            move_mask = mask
+            break
+    if move_mask is None:
+        raise ValueError("no user handle region enabled in config")
+
+    trans = np.array(
+        [
+            userhandle_cfg.get("xtrans", 0.0),
+            userhandle_cfg.get("ytrans", 0.0),
+            userhandle_cfg.get("ztrans", 0.0),
+        ],
+        dtype=np.float32,
+    )
+    verts_tgt = verts_src + trans[None, :] * move_mask[:, None]
+    return handle_mask, verts_tgt.astype(np.float32)

@@ -1,0 +1,135 @@
+"""End-to-end training slice: overfit the tiny model on the synthetic fixture,
+plus checkpoint naming-contract round trips."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nsdp_tpu.data import DataLoader
+from nsdp_tpu.data.datasets import Deform4DFlowDataset
+from nsdp_tpu.data.synthetic import generate_synthetic_dataset, synthetic_config
+from nsdp_tpu.models import build_model
+from nsdp_tpu.training import (
+    create_train_state,
+    load_best_checkpoints,
+    load_checkpoints,
+    make_steps,
+    optimizer_factory,
+    save_best_checkpoints,
+    save_checkpoints,
+)
+
+
+@pytest.fixture(scope="module")
+def fixture(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth_train")
+    return generate_synthetic_dataset(
+        str(root), n_identities=1, n_motions_per_identity=1, n_frames=3
+    )
+
+
+def _setup(fixture, model_type="forward"):
+    cfg = synthetic_config(
+        fixture, model_type=model_type, arbitrary=(model_type == "arbitrary")
+    )
+    model = build_model(cfg)
+    ds = Deform4DFlowDataset(
+        cfg,
+        "identity_seen",
+        "train_seen",
+        num_sampled_pairs=-1,
+        rng=np.random.RandomState(0),
+    )
+    loader = DataLoader(ds, batch_size=2, shuffle=True, seed=0, drop_last=True)
+    batch = next(iter(loader))
+    schedule, tx = optimizer_factory(cfg["training"])
+
+    if model_type == "arbitrary":
+        inputs = batch["surface_samples_inputs"]
+        example = (
+            jnp.asarray(batch["space_samples_src"]),
+            jnp.asarray(inputs[..., 0:3]),
+            jnp.asarray(inputs[..., 3:6]),
+            jnp.asarray(inputs[..., 6:7]),
+        )
+    else:
+        example = (
+            jnp.asarray(batch["space_samples_src"]),
+            jnp.asarray(batch["surface_samples_inputs"]),
+        )
+    state = create_train_state(model, jax.random.PRNGKey(0), example, tx)
+    steps = make_steps(model, model_type, tx)
+    return cfg, model, loader, schedule, state, steps
+
+
+@pytest.mark.parametrize("model_type", ["forward", "arbitrary"])
+def test_overfit_decreases_loss(fixture, model_type):
+    cfg, model, loader, schedule, state, steps = _setup(fixture, model_type)
+    lr = schedule.get_learning_rate(0)
+    losses = []
+    for epoch in range(30):
+        for batch in loader:
+            state, loss = steps["train_step"](state, batch, lr)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5, losses
+    # validation step runs and is finite
+    val = steps["validate_step"](state, batch)
+    assert np.isfinite(float(val))
+
+
+def test_checkpoint_roundtrip(fixture, tmp_path):
+    cfg, model, loader, schedule, state, steps = _setup(fixture, "forward")
+    exp_dir = str(tmp_path / "exp")
+    os.makedirs(exp_dir)
+
+    batch = next(iter(loader))
+    state, _ = steps["train_step"](state, batch, 1e-3)
+    save_checkpoints(7, state, exp_dir)
+    assert os.path.exists(os.path.join(exp_dir, "model_00007"))
+    assert os.path.exists(os.path.join(exp_dir, "opt_00007"))
+
+    # fresh state restores exactly
+    _, _, _, _, state2, _ = _setup(fixture, "forward")
+    state2, next_epoch = load_checkpoints(state2, exp_dir)
+    assert next_epoch == 8
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree.leaves(state.opt_state), jax.tree.leaves(state2.opt_state)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_best_checkpoint_roundtrip(fixture, tmp_path):
+    cfg, model, loader, schedule, state, steps = _setup(fixture, "forward")
+    exp_dir = str(tmp_path / "exp_best")
+    os.makedirs(exp_dir)
+    save_best_checkpoints(12, state, exp_dir, 0.0425)
+    files = os.listdir(exp_dir)
+    assert any(f.startswith("modelbest_00012_") for f in files)
+
+    _, _, _, _, state2, _ = _setup(fixture, "forward")
+
+    class Args:
+        continue_from_epoch = 0
+        best_val_loss = 1e9
+
+    args = Args()
+    state2, next_epoch, best = load_best_checkpoints(state2, exp_dir, args)
+    assert next_epoch == 13 and abs(best - 0.0425) < 1e-6
+    assert args.continue_from_epoch == 13
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_lr_schedule():
+    from nsdp_tpu.training import StepLearningRateSchedule
+
+    s = StepLearningRateSchedule({"initial": 1e-3, "interval": 200, "factor": 0.1})
+    assert s.get_learning_rate(0) == 1e-3
+    assert s.get_learning_rate(199) == 1e-3
+    assert abs(s.get_learning_rate(200) - 1e-4) < 1e-12
+    assert abs(s.get_learning_rate(401) - 1e-5) < 1e-12
