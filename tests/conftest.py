@@ -15,6 +15,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax
 
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; force CPU via config
+# (the env vars above still control the virtual device count).
+jax.config.update("jax_platforms", "cpu")
+
 # The reference computes everything in f32; low-precision matmul accumulation
 # (the backend default) perturbs kNN distances and attention enough to break
 # numeric parity, so tests pin f32.

@@ -1,0 +1,116 @@
+"""Multi-device tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nsdp_tpu.models import build_model
+from nsdp_tpu.parallel import make_mesh, replicate, shard_batch, shard_queries
+from nsdp_tpu.training import create_train_state, make_steps, optimizer_factory
+
+
+TINY = {
+    "model": {
+        "type": "arbitrary",
+        "use_normals": False,
+        "encoder": "pointransformer",
+        "encoder_kwargs": dict(
+            npoints_per_layer=[32, 16, 8],
+            nneighbor=6,
+            nneighbor_reduced=4,
+            nfinal_transformers=1,
+            d_transformer=16,
+            d_reduced=12,
+            full_SA=True,
+        ),
+        "decoder": "crossatten",
+        "decoder_kwargs": dict(dim_inp=16, dim=10, nneigh=5, hidden_dim=8, out_dim=3),
+    },
+    "training": {"optimizer": "Adam", "lr": 1e-3, "lr_step": 10, "lr_decay": 0.1},
+}
+
+
+def _batch(B=8, N=32, Q=16, seed=0):
+    rng = np.random.RandomState(seed)
+    surf_src = rng.randn(B, N, 3).astype(np.float32)
+    surf_tgt = rng.randn(B, N, 3).astype(np.float32)
+    mask = np.ones((B, N, 1), np.float32)
+    inputs = np.concatenate([surf_src, surf_tgt * mask, mask], -1)
+    return {
+        "surface_samples_inputs": inputs,
+        "space_samples_src": rng.randn(B, Q, 3).astype(np.float32),
+        "space_samples_tgt": rng.randn(B, Q, 3).astype(np.float32),
+    }
+
+
+def test_mesh_axes():
+    mesh = make_mesh(data=4, query=2)
+    assert mesh.shape == {"data": 4, "query": 2}
+
+
+def test_dp_train_step_matches_single_device():
+    """8-way DP must match single-device bit-for-bit up to f32 reduction
+    order.  SGD+momentum is used (linear in the gradient) — Adam's
+    sign(g)-like first step amplifies reduction-order noise on near-zero
+    gradients into full-LR differences, which would test nothing."""
+    assert len(jax.devices()) >= 8
+    model = build_model(TINY)
+    _, tx = optimizer_factory(
+        {"optimizer": "SGD", "lr": 1e-3, "momentum": 0.9}
+    )
+    batch = _batch()
+    example = (
+        jnp.asarray(batch["space_samples_src"]),
+        jnp.asarray(batch["surface_samples_inputs"][..., 0:3]),
+        jnp.asarray(batch["surface_samples_inputs"][..., 3:6]),
+        jnp.asarray(batch["surface_samples_inputs"][..., 6:7]),
+    )
+    state = create_train_state(model, jax.random.PRNGKey(0), example, tx)
+    steps = make_steps(model, "arbitrary", tx)
+
+    # single-device result
+    state_1, loss_1 = steps["train_step"](
+        jax.tree.map(jnp.copy, state), batch, 1e-3
+    )
+
+    # 8-way data parallel
+    mesh = make_mesh(data=8, query=1)
+    state_r = replicate(jax.tree.map(jnp.copy, state), mesh)
+    batch_s = shard_batch(batch, mesh)
+    state_8, loss_8 = steps["train_step"](state_r, batch_s, 1e-3)
+
+    np.testing.assert_allclose(float(loss_1), float(loss_8), rtol=1e-5)
+    for a, b in zip(
+        jax.tree.leaves(state_1.params), jax.tree.leaves(state_8.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_query_sharded_predict_matches():
+    model = build_model(TINY)
+    _, tx = optimizer_factory(TINY["training"])
+    batch = _batch(B=2, Q=64)
+    example = (
+        jnp.asarray(batch["space_samples_src"]),
+        jnp.asarray(batch["surface_samples_inputs"][..., 0:3]),
+        jnp.asarray(batch["surface_samples_inputs"][..., 3:6]),
+        jnp.asarray(batch["surface_samples_inputs"][..., 6:7]),
+    )
+    state = create_train_state(model, jax.random.PRNGKey(0), example, tx)
+    steps = make_steps(model, "arbitrary", tx)
+
+    pts = jnp.asarray(batch["space_samples_src"])
+    inputs = jnp.asarray(batch["surface_samples_inputs"])
+    out_1 = steps["predict"](state, pts, inputs)
+
+    mesh = make_mesh(data=1, query=8)
+    state_r = replicate(state, mesh)
+    pts_s = shard_queries(pts, mesh)
+    inputs_r = replicate(inputs, mesh)
+    out_8 = steps["predict"](state_r, pts_s, inputs_r)
+    np.testing.assert_allclose(
+        np.asarray(out_1), np.asarray(out_8), rtol=1e-4, atol=1e-5
+    )
