@@ -14,6 +14,7 @@ This layer introduces the TPU-native scaling story:
 
 from nsdp_tpu.parallel.mesh import (
     make_mesh,
+    make_train_mesh,
     replicate,
     shard_batch,
     shard_queries,
@@ -22,6 +23,7 @@ from nsdp_tpu.parallel.mesh import (
 
 __all__ = [
     "make_mesh",
+    "make_train_mesh",
     "replicate",
     "shard_batch",
     "shard_queries",

@@ -46,6 +46,17 @@ def make_mesh(
     return Mesh(dev_array, axis_names=("data", "query"))
 
 
+def make_train_mesh(batch_size: int) -> Mesh:
+    """Data-parallel mesh using the most devices that divide the batch."""
+    n = len(jax.devices())
+    data = 1
+    for d in range(n, 0, -1):
+        if batch_size % d == 0:
+            data = d
+            break
+    return make_mesh(devices=jax.devices()[:data], data=data, query=1)
+
+
 def replicate(tree, mesh: Mesh):
     """Replicate a pytree across the whole mesh."""
     sharding = NamedSharding(mesh, P())

@@ -1,0 +1,96 @@
+"""CLI entry points run end-to-end on the synthetic fixture."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from nsdp_tpu.data.synthetic import generate_synthetic_dataset, synthetic_config
+from nsdp_tpu.utils.logger import StatsLogger
+
+
+@pytest.fixture(scope="module")
+def fixture(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth_cli")
+    return generate_synthetic_dataset(
+        str(root), n_identities=1, n_motions_per_identity=1, n_frames=3,
+        n_surface=200, n_space=200,
+    )
+
+
+def _write_cfg(fixture, tmp_path, **kw):
+    cfg = synthetic_config(fixture, **kw)
+    cfg["experiment"]["out_dir"] = str(tmp_path / "out")
+    path = str(tmp_path / "cfg.yaml")
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    return cfg, path
+
+
+def test_train_cli(fixture, tmp_path):
+    StatsLogger.reset()
+    import train as train_cli
+
+    cfg, cfg_path = _write_cfg(fixture, tmp_path)
+    train_cli.main([cfg_path, "--seed", "0"])
+
+    exp_dir = os.path.join(cfg["experiment"]["out_dir"], "synthetic")
+    files = os.listdir(exp_dir)
+    assert "params.json" in files
+    assert "stats.txt" in files
+    assert any(f.startswith("model_") for f in files)
+    assert any(f.startswith("modelbest_") for f in files)
+
+
+def test_test_cli(fixture, tmp_path):
+    StatsLogger.reset()
+    import train as train_cli
+    import test as test_cli
+
+    cfg, cfg_path = _write_cfg(fixture, tmp_path)
+    train_cli.main([cfg_path, "--seed", "0"])
+    exp_dir = os.path.join(cfg["experiment"]["out_dir"], "synthetic")
+    model_file = sorted(
+        f for f in os.listdir(exp_dir) if f.startswith("model_")
+    )[-1]
+
+    cfg["test"]["weight_file"] = os.path.join(exp_dir, model_file)
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    StatsLogger.reset()
+    test_cli.main([cfg_path])
+
+    split_dir = os.path.join(exp_dir, cfg["test"]["motion_split"])
+    meshes = os.path.join(split_dir, "meshes")
+    assert os.path.isdir(os.path.join(meshes, "deformed"))
+    assert len(os.listdir(os.path.join(meshes, "deformed"))) > 0
+    pcs = os.path.join(split_dir, "pointclouds")
+    assert os.path.isdir(os.path.join(pcs, "deformed"))
+    stats = os.path.join(exp_dir, cfg["test"]["motion_split"] + ".txt")
+    assert os.path.exists(stats)
+
+
+def test_config_validation(tmp_path):
+    from nsdp_tpu.utils.config import load_config
+
+    bad = str(tmp_path / "bad.yaml")
+    with open(bad, "w") as f:
+        yaml.safe_dump({"experiment": {}}, f)
+    with pytest.raises(ValueError):
+        load_config(bad)
+
+
+def test_shipped_configs_parse():
+    from nsdp_tpu.utils.config import load_config
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    n = 0
+    for dirpath, _, files in os.walk(root):
+        for fname in files:
+            if fname.endswith(".yaml"):
+                cfg = load_config(os.path.join(dirpath, fname))
+                assert cfg["model"]["type"] in ("forward", "backward", "arbitrary")
+                n += 1
+    assert n >= 12

@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""Train a deformation network (CLI-compatible with the reference train.py).
+
+Usage:
+  python train.py <config.yaml> [--num_workers N] [--seed S]
+                  [--continue_from_epoch E] [--best_val_loss L]
+                  [--with_wandb_logger]
+
+Differences from the reference runner are all TPU-native: the per-batch
+closure is one jitted XLA program (forward+loss+backward+update), batches are
+sharded over the device mesh's 'data' axis, and checkpoints are flax msgpack
+under the same file-naming contract.
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def parse_args(argv):
+    parser = argparse.ArgumentParser(description="Train a deformation network")
+    parser.add_argument("config_file", help="experiment configuration YAML")
+    parser.add_argument("--num_workers", type=int, default=0,
+                        help="loader worker threads")
+    parser.add_argument("--num_threads", type=int, default=4,
+                        help="host compute threads (accepted for parity)")
+    parser.add_argument("--seed", type=int, default=27, help="PRNG seed")
+    parser.add_argument("--continue_from_epoch", type=int, default=0)
+    parser.add_argument("--best_val_loss", type=float, default=9999999999999)
+    parser.add_argument("--with_wandb_logger", action="store_true")
+    parser.add_argument("--matmul_precision", default="highest",
+                        choices=["default", "high", "highest"],
+                        help="f32 matmul precision on the MXU")
+    return parser.parse_args(argv)
+
+
+def main(argv):
+    args = parse_args(argv)
+
+    import jax
+    jax.config.update("jax_default_matmul_precision", args.matmul_precision)
+    import jax.numpy as jnp
+
+    from nsdp_tpu.data import DataLoader, dataset_dict
+    from nsdp_tpu.models import build_model
+    from nsdp_tpu.parallel import make_train_mesh, replicate, shard_batch
+    from nsdp_tpu.training import (
+        create_train_state,
+        load_best_checkpoints,
+        load_checkpoints,
+        make_steps,
+        optimizer_factory,
+        print_num_parameters,
+        save_best_checkpoints,
+        save_checkpoints,
+    )
+    from nsdp_tpu.training.checkpoints import load_model_variables
+    from nsdp_tpu.utils.config import load_config, save_experiment_params
+    from nsdp_tpu.utils.logger import StatsLogger, WandB
+
+    np.random.seed(args.seed)
+    print("Running on", jax.devices())
+
+    config = load_config(args.config_file)
+    output_directory = config["experiment"]["out_dir"]
+    experiment_name = config["experiment"]["name"]
+    experiment_directory = os.path.join(output_directory, experiment_name)
+    os.makedirs(experiment_directory, exist_ok=True)
+    save_experiment_params(args, experiment_name, experiment_directory)
+    print(f"Save experiment statistics in {experiment_directory}")
+
+    # datasets + loaders
+    Dataset = dataset_dict[config["data"]["type"]]
+    train_dataset = Dataset(
+        config,
+        iden_split=config["training"]["iden_split"],
+        motion_split=config["training"]["motion_split"],
+        load_mesh=config["training"]["load_mesh"],
+        num_sampled_pairs=config["training"]["num_sampled_pairs"],
+    )
+    validation_dataset = Dataset(
+        config,
+        iden_split=config["validation"]["iden_split"],
+        motion_split=config["validation"]["motion_split"],
+        load_mesh=config["validation"]["load_mesh"],
+        num_sampled_pairs=config["validation"]["num_sampled_pairs"],
+    )
+    batch_size = config["training"].get("batch_size", 16)
+    train_loader = DataLoader(
+        train_dataset, batch_size=batch_size, shuffle=True,
+        drop_last=True, num_workers=args.num_workers, seed=args.seed,
+    )
+    print(f"Loaded {len(train_dataset)} training deformation pairs")
+    val_loader = DataLoader(
+        validation_dataset,
+        batch_size=config["validation"].get("batch_size", 1),
+        shuffle=False, drop_last=True, num_workers=args.num_workers,
+    )
+    print(f"Loaded {len(validation_dataset)} validation deformation pairs")
+
+    # model + optimizer + state
+    model_type = config["model"]["type"]
+    model = build_model(config)
+    lr_schedule, tx = optimizer_factory(config["training"])
+    steps = make_steps(model, model_type, tx)
+
+    example_batch = train_dataset.collate_fn(
+        [train_dataset[i] for i in range(min(2, len(train_dataset)))]
+    )
+    inputs = jnp.asarray(example_batch["surface_samples_inputs"])
+    if model_type == "arbitrary":
+        example = (
+            jnp.asarray(example_batch["space_samples_src"]),
+            inputs[..., 0:3], inputs[..., 3:6], inputs[..., 6:7],
+        )
+    else:
+        example = (jnp.asarray(example_batch["space_samples_src"]), inputs)
+    state = create_train_state(model, jax.random.PRNGKey(args.seed), example, tx)
+    print_num_parameters(state.params, model_type)
+
+    # pretrained stage-1 nets for the arbitrary model (same config keys)
+    wf = config["training"].get("weight_forward_file")
+    wb = config["training"].get("weight_backward_file")
+    if model_type == "arbitrary" and (wf or wb):
+        from nsdp_tpu.training.partial_load import load_subnetwork
+        if wf:
+            print(f"Loading weight forward file from {wf}")
+            state = load_subnetwork(state, wf, "model_deform")
+        if wb:
+            print(f"Loading weight backward file from {wb}")
+            state = load_subnetwork(state, wb, "model_canonicalize")
+    weight_file = config["training"].get("weight_file")
+    if weight_file:
+        print(f"Loading weight file from {weight_file}")
+        state = load_model_variables(weight_file, state)
+
+    # resume
+    state, _, _ = load_best_checkpoints(state, experiment_directory, args)
+    state, _ = load_checkpoints(state, experiment_directory, args)
+
+    # mesh: data-parallel over as many chips as divide both batch sizes
+    import math
+    mesh = make_train_mesh(
+        math.gcd(batch_size, config["validation"].get("batch_size", 1))
+    )
+    state = replicate(state, mesh)
+
+    if args.with_wandb_logger:
+        WandB.instance().init(
+            config,
+            model=None,
+            project=config.get("logger", {}).get("project", "NSDP"),
+            name=experiment_name,
+            watch=False,
+            log_frequency=10,
+        )
+    logger = StatsLogger.instance()
+    logger.add_output_file(
+        open(os.path.join(experiment_directory, "stats.txt"), "w")
+    )
+
+    epochs = config["training"].get("epochs", 1000)
+    save_every = config["training"].get("save_frequency", 20)
+    val_every = config["validation"].get("frequency", 10)
+
+    for epoch in range(args.continue_from_epoch, epochs):
+        lr = lr_schedule.get_learning_rate(epoch)
+        for b, batch in enumerate(train_loader):
+            batch = shard_batch(batch, mesh)
+            state, loss = steps["train_step"](state, batch, lr)
+            logger.print_progress(epoch + 1, b + 1, float(loss))
+
+        if (epoch % save_every) == 0:
+            save_checkpoints(epoch, state, experiment_directory)
+        logger.clear()
+
+        if epoch % val_every == 0 and epoch > 0:
+            print("====> Validation Epoch ====>")
+            for b, batch in enumerate(val_loader):
+                batch = shard_batch(batch, mesh)
+                loss = steps["validate_step"](state, batch)
+                logger.print_progress(-1, b + 1, float(loss))
+            val_loss = logger.loss
+            if val_loss < args.best_val_loss:
+                save_best_checkpoints(
+                    epoch, state, experiment_directory, val_loss
+                )
+                args.best_val_loss = val_loss
+            logger.clear()
+            print("====> Validation Epoch ====>")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
