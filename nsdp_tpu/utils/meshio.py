@@ -169,8 +169,20 @@ def save_mesh(
         _save_obj(path, verts, faces, vertex_colors)
     elif ext == ".ply":
         _save_ply(path, verts, faces, vertex_colors)
+    elif ext == ".off":
+        _save_off(path, verts, faces)
     else:
         raise ValueError(f"unsupported export format {ext!r}")
+
+
+def _save_off(path, verts, faces):
+    with open(path, "w") as f:
+        f.write("OFF\n")
+        f.write(f"{len(verts)} {len(faces)} 0\n")
+        for v in verts:
+            f.write(f"{v[0]} {v[1]} {v[2]}\n")
+        for face in faces:
+            f.write(f"3 {face[0]} {face[1]} {face[2]}\n")
 
 
 def _save_obj(path, verts, faces, colors):
