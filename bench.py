@@ -1,10 +1,17 @@
 """Headline benchmark: deformation-field query throughput per chip.
 
-Runs the flagship arbitrary-pose model (full-size FlowArbitrary: three
-encoder+decoder passes per evaluation) at batch 1 with 5000 surface
-conditioning points and a large query set, and reports end-to-end query
+Runs the flagship arbitrary-pose model (full-size FlowArbitrary: encoder
+passes + two field decodings per evaluation) at batch 1 with 5000 surface
+conditioning points and 65536 query points, and reports end-to-end query
 points/sec on one chip.  The north-star target is >=1M queries/sec/chip
 (BASELINE.md); ``vs_baseline`` is the ratio against that target.
+
+Measurement protocol: the device this harness reaches sits behind a slow
+tunnel (host<->device transfers ~30 MB/s, ~26 ms fixed sync cost), so naive
+per-call wall timing measures the tunnel, not the chip.  Instead the model
+is iterated K times *on device* in a dependent ``lax.fori_loop`` chain and
+synchronised once by a scalar fetch; per-call time is the slope between a
+1-iteration and a (1+K)-iteration chain, which cancels the fixed cost.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -25,6 +32,7 @@ def main():
 
     Q = 65536
     N = 5000
+    K = 5
     model = build_model(FLAGSHIP_CONFIG)
     batch = _example_batch(B=1, N=N, Q=Q)
     inputs = jnp.asarray(batch["surface_samples_inputs"])
@@ -34,31 +42,32 @@ def main():
         inputs[..., 3:6],
         inputs[..., 6:7],
     )
-
     variables = model.init(
         jax.random.PRNGKey(0), space[:, :128], surf_src, surf_tgt, mask,
         train=False,
     )
 
     @jax.jit
-    def deform(space_src):
-        return model.apply(
-            variables, space_src, surf_src, surf_tgt, mask, train=False
-        )
+    def chain(space_src, k):
+        def body(i, x):
+            return model.apply(
+                variables, x, surf_src, surf_tgt, mask, train=False
+            )
+        return jnp.sum(jax.lax.fori_loop(0, k, body, space_src))
 
-    # warmup / compile
-    out = deform(space)
-    out.block_until_ready()
+    def sync_time(k, n=5):
+        float(chain(space, k))  # warm / compile
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            float(chain(space, k))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
 
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        out = deform(space)
-        out.block_until_ready()
-        times.append(time.perf_counter() - t0)
-
-    dt = float(np.median(times))
-    qps = Q / dt
+    t1 = sync_time(1)
+    t2 = sync_time(1 + K)
+    per_call = max((t2 - t1) / K, 1e-9)
+    qps = Q / per_call
     print(
         json.dumps(
             {

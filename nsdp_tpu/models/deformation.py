@@ -33,19 +33,32 @@ def compute_l2_error(points_pred, points_gt):
 
 
 class DeformationNetwork(fnn.Module):
-    """One encoder + one decoder; the unit composed by :class:`FlowArbitrary`."""
+    """One encoder + one decoder; the unit composed by :class:`FlowArbitrary`.
+
+    ``encode``/``decode`` are exposed separately so callers evaluating the
+    same conditioning at several query sets (FlowArbitrary, test-time
+    surface+vertex queries) encode once and decode many times — the encoder
+    is the fixed cost, the decoder is linear in queries.
+    """
 
     encoder: fnn.Module
     decoder: fnn.Module
     no_input_corr: bool = False
 
-    def __call__(self, points, surface_samples_inputs, train: bool = False):
+    def encode(self, surface_samples_inputs, train: bool = False):
         if self.no_input_corr:
             conditioning = surface_samples_inputs[:, :, 0:3]
         else:
             conditioning = surface_samples_inputs
-        encoding = self.encoder(conditioning, train=train)
+        return self.encoder(conditioning, train=train)
+
+    def decode(self, points, encoding, train: bool = False):
         return self.decoder(points, encoding, train=train)
+
+    def __call__(self, points, surface_samples_inputs, train: bool = False):
+        return self.decode(
+            points, self.encode(surface_samples_inputs, train=train), train=train
+        )
 
 
 class FlowArbitrary(fnn.Module):
@@ -60,6 +73,14 @@ class FlowArbitrary(fnn.Module):
     2. backward net canonicalises the source surface itself;
     3. forward net deforms the canonicalised space samples toward the target,
        conditioned on [canonicalised surface, target surface, handle mask].
+
+    The reference encodes the source surface twice (once per
+    ``model_canonicalize`` call); since both calls share identical
+    conditioning, the encoding is computed once here and decoded at both
+    query sets — numerically identical outputs, one encoder pass saved.
+    (In train mode the backward encoder's BN running stats consequently
+    accumulate one update per step instead of two identical ones; the
+    normalisation itself is unchanged.)
     """
 
     model_canonicalize: fnn.Module  # "backward" net (no_input_corr=True)
@@ -73,11 +94,14 @@ class FlowArbitrary(fnn.Module):
         cano_handle_sample_mask,
         train: bool = False,
     ):
-        space_cano = self.model_canonicalize(
-            space_samples_src, surface_samples_src, train=train
+        cano_encoding = self.model_canonicalize.encode(
+            surface_samples_src, train=train
         )
-        surface_cano = self.model_canonicalize(
-            surface_samples_src, surface_samples_src, train=train
+        space_cano = self.model_canonicalize.decode(
+            space_samples_src, cano_encoding, train=train
+        )
+        surface_cano = self.model_canonicalize.decode(
+            surface_samples_src, cano_encoding, train=train
         )
         conditioning = jnp.concatenate(
             [surface_cano, surface_samples_tgt, cano_handle_sample_mask],

@@ -1,0 +1,58 @@
+"""Aux subsystems: profiling timer, async checkpointing, padding helpers."""
+
+import os
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+from nsdp_tpu.utils.profiling import StepTimer, trace_steps
+from nsdp_tpu.utils.padding import next_bucket, pad_queries
+
+
+def test_step_timer():
+    t = StepTimer(window=10)
+    for _ in range(5):
+        t.tick()
+        time.sleep(0.01)
+    assert 10 < t.steps_per_sec < 1000
+    assert t.sec_per_step > 0
+
+
+def test_trace_steps_noop():
+    with trace_steps(None):
+        pass  # must not raise
+
+
+def test_next_bucket():
+    assert next_bucket(1, 4096) == 4096
+    assert next_bucket(4096, 4096) == 4096
+    assert next_bucket(4097, 4096) == 8192
+
+
+def test_pad_queries():
+    pts = np.ones((1, 100, 3), np.float32)
+    padded, q = pad_queries(pts, bucket=64)
+    assert q == 100 and padded.shape == (1, 128, 3)
+    np.testing.assert_allclose(padded[:, 100:], 0.0)
+
+
+def test_async_checkpointer(tmp_path):
+    from nsdp_tpu.training.async_ckpt import AsyncCheckpointer
+    from nsdp_tpu.training.state import TrainState
+
+    state = TrainState(
+        params={"w": jnp.ones((3,))},
+        batch_stats={},
+        opt_state=(),
+        step=jnp.zeros((), jnp.int32),
+    )
+    ac = AsyncCheckpointer()
+    ac.save(3, state, str(tmp_path))
+    ac.save_best(3, state, str(tmp_path), 0.5)
+    ac.wait()
+    assert os.path.exists(tmp_path / "model_00003")
+    assert os.path.exists(tmp_path / "opt_00003")
+    assert any(
+        f.startswith("modelbest_00003_") for f in os.listdir(tmp_path)
+    )
