@@ -25,9 +25,12 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("npoint",))
 def furthest_point_sample(xyz: jax.Array, npoint: int) -> jax.Array:
     """Iterative furthest-point sampling.
+
+    Dispatches to the VMEM-resident Pallas kernel on TPU
+    (:mod:`nsdp_tpu.ops.fps_pallas`) and to the XLA ``fori_loop``
+    implementation elsewhere; both have identical semantics.
 
     Args:
       xyz: (B, N, 3) float point coordinates.
@@ -36,6 +39,16 @@ def furthest_point_sample(xyz: jax.Array, npoint: int) -> jax.Array:
     Returns:
       (B, npoint) int32 indices into the N axis.
     """
+    if jax.default_backend() in ("tpu", "axon"):
+        from nsdp_tpu.ops.fps_pallas import furthest_point_sample_pallas
+
+        return furthest_point_sample_pallas(xyz, npoint)
+    return furthest_point_sample_xla(xyz, npoint)
+
+
+@partial(jax.jit, static_argnames=("npoint",))
+def furthest_point_sample_xla(xyz: jax.Array, npoint: int) -> jax.Array:
+    """Reference XLA implementation (any backend)."""
     if xyz.ndim != 3 or xyz.shape[-1] != 3:
         raise ValueError(f"expected (B, N, 3) input, got {xyz.shape}")
     B, N, _ = xyz.shape

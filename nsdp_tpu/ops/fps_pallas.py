@@ -1,0 +1,102 @@
+"""Pallas TPU kernel for furthest-point sampling.
+
+The XLA ``lax.fori_loop`` FPS (:mod:`nsdp_tpu.ops.fps`) round-trips the
+running min-distance vector through HBM every iteration and pays per-step
+scheduling overhead — at 500 sequential steps that dominates the encoder.
+This kernel runs the whole selection loop inside one Pallas program with the
+point cloud and the distance vector resident in VMEM (a 5000-point cloud is
+60 KB — far under the ~16 MB budget), so each step is pure VPU work.
+
+Layout: coordinates are passed as (B, 8, Npad) — x/y/z in sublanes 0-2,
+zero rows 3-7, N padded to a lane multiple of 128.  Zero-padding is
+*semantically safe* because the reference FPS skips points with
+``|p|^2 <= 1e-3`` (the CUDA kernel's origin-skip, ``sampling_gpu.cu:100``),
+which is exactly what excludes the padding.
+
+Semantics match :func:`nsdp_tpu.ops.fps.furthest_point_sample` (start at
+index 0, origin skip, min-distance init 1e10, ties to the lowest index).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _fps_kernel(xyz_ref, out_ref, *, npoint: int, n_valid: int):
+    xyz = xyz_ref[0]  # (8, Npad): rows 0-2 = x,y,z
+    npad = xyz.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, npad), 1)
+
+    mag = jnp.sum(xyz * xyz, axis=0, keepdims=True)  # (1, Npad)
+    valid = (mag > 1e-3) & (lane < n_valid)
+
+    big = jnp.int32(npad)
+
+    def select_coords(idx):
+        onehot = (lane == idx).astype(jnp.float32)  # (1, Npad)
+        return jnp.sum(xyz * onehot, axis=-1, keepdims=True)  # (8, 1)
+
+    def body(i, carry):
+        mindist, out_vec, last = carry
+        lastc = select_coords(last)  # (8, 1)
+        delta = xyz - lastc  # rows 3-7 are 0-0
+        d = jnp.sum(delta * delta, axis=0, keepdims=True)  # (1, Npad)
+        mindist = jnp.where(valid, jnp.minimum(mindist, d), mindist)
+        cand = jnp.where(valid, mindist, -jnp.inf)
+        m = jnp.max(cand)
+        nxt = jnp.min(jnp.where((cand == m) & valid, lane, big))
+        nxt = jnp.where(nxt == big, 0, nxt)  # all-invalid fallback
+        out_vec = jax.lax.dynamic_update_slice(
+            out_vec, jnp.reshape(nxt, (1, 1)), (0, i)
+        )
+        return mindist, out_vec, nxt
+
+    init_out = jnp.zeros((1, out_ref.shape[-1]), jnp.int32)
+    init_dist = jnp.full((1, npad), 1e10, jnp.float32)
+    _, out_vec, _ = jax.lax.fori_loop(
+        1, npoint, body, (init_dist, init_out, jnp.int32(0))
+    )
+    out_ref[0] = out_vec
+
+
+@partial(jax.jit, static_argnames=("npoint", "interpret"))
+def furthest_point_sample_pallas(
+    xyz: jax.Array, npoint: int, interpret: bool = False
+) -> jax.Array:
+    """Drop-in replacement for ``furthest_point_sample`` using Pallas.
+
+    Args:
+      xyz: (B, N, 3) float32.
+      npoint: number of samples (static).
+      interpret: run in interpreter mode (for CPU tests).
+
+    Returns:
+      (B, npoint) int32 indices.
+    """
+    B, N, _ = xyz.shape
+    npad = _round_up(N, 128)
+    opad = _round_up(npoint, 128)
+
+    coords = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)  # (B, 3, N)
+    coords = jnp.pad(coords, ((0, 0), (0, 5), (0, npad - N)))  # (B, 8, Npad)
+
+    out = pl.pallas_call(
+        partial(_fps_kernel, npoint=npoint, n_valid=N),
+        out_shape=jax.ShapeDtypeStruct((B, 1, opad), jnp.int32),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 8, npad), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, opad), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(coords)
+    return out[:, 0, :npoint]

@@ -80,6 +80,17 @@ class TestFPS:
         idx = np.asarray(furthest_point_sample(jnp.asarray(xyz), 50))[0]
         assert len(set(idx.tolist())) == 50
 
+    def test_pallas_kernel_matches_xla(self, rng):
+        from nsdp_tpu.ops.fps_pallas import furthest_point_sample_pallas
+
+        for B, N, npoint in [(2, 100, 16), (1, 700, 64), (3, 333, 50)]:
+            xyz = jnp.asarray(rng.randn(B, N, 3).astype(np.float32) + 0.5)
+            ref = np.asarray(furthest_point_sample(xyz, npoint))
+            got = np.asarray(
+                furthest_point_sample_pallas(xyz, npoint, interpret=True)
+            )
+            np.testing.assert_array_equal(ref, got)
+
 
 class TestKNN:
     def test_matches_argsort(self, rng):
