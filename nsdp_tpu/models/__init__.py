@@ -82,8 +82,19 @@ def build_deformation_network(
     )
 
 
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, None: None}
+
+
 def build_model(config: Dict[str, Any], dtype: Optional[jnp.dtype] = None):
-    """Build the flax module for ``config['model']['type']``."""
+    """Build the flax module for ``config['model']['type']``.
+
+    ``config['model']['compute_dtype']`` ('float32' | 'bfloat16') selects the
+    activation/matmul dtype when ``dtype`` is not passed explicitly;
+    parameters and BatchNorm statistics stay float32 either way.
+    """
+    if dtype is None:
+        key = config["model"].get("compute_dtype")
+        dtype = _DTYPES[key] if key in _DTYPES else jnp.dtype(key)
     model_type = config["model"]["type"]
     if model_type == "forward":
         return build_deformation_network(config, no_input_corr=False, dtype=dtype)

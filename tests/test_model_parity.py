@@ -128,6 +128,67 @@ def test_flow_arbitrary_parity(rng):
     np.testing.assert_allclose(np.asarray(jout), tout, rtol=1e-3, atol=2e-4)
 
 
+def test_pointnetplusplus_encoder_parity(rng):
+    enc_kw = dict(
+        npoints_per_layer=[32, 16, 8], nneighbor=6, d_transformer=16,
+        nfinal_transformers=2,
+    )
+    tenc = torch_ref.EncoderPNPP(**enc_kw, has_features=False)
+    tenc.eval()
+    xyz = rng.randn(2, 32, 3).astype(np.float32)
+    with torch.no_grad():
+        tout = tenc(torch.tensor(xyz))
+
+    from nsdp_tpu.models.encoders import PointNetPlusPlusEncoder
+
+    jenc = PointNetPlusPlusEncoder(**enc_kw, has_features=False)
+    variables = jenc.init(jax.random.PRNGKey(0), jnp.asarray(xyz), train=False)
+    sd = {k: v.numpy() for k, v in tenc.state_dict().items()}
+    params, batch_stats = convert_state_dict(
+        sd, variables["params"], variables.get("batch_stats", {})
+    )
+    jout = jenc.apply(
+        {"params": params, "batch_stats": batch_stats},
+        jnp.asarray(xyz),
+        train=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jout["z"]), tout["z"].numpy(), rtol=1e-3, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(jout["anchor_feats"]), tout["anchor_feats"].numpy(),
+        rtol=1e-3, atol=2e-4,
+    )
+
+
+def test_interp_decoder_parity(rng):
+    tdec = torch_ref.InterpDecoder(16, 10, out_dim=3, hidden_dim=8, n_blocks=2)
+    tdec.eval()
+    enc_np = {
+        "z": rng.randn(2, 16).astype(np.float32),
+        "anchors": rng.randn(2, 8, 3).astype(np.float32),
+        "anchor_feats": rng.randn(2, 8, 16).astype(np.float32),
+    }
+    q = rng.randn(2, 12, 3).astype(np.float32)
+    with torch.no_grad():
+        tout = tdec(
+            torch.tensor(q), {k: torch.tensor(v) for k, v in enc_np.items()}
+        ).numpy()
+
+    from nsdp_tpu.models.decoders import PointInterpDecoder
+
+    jdec = PointInterpDecoder(dim_inp=16, dim=10, out_dim=3, hidden_dim=8,
+                              n_blocks=2)
+    enc_j = {k: jnp.asarray(v) for k, v in enc_np.items()}
+    variables = jdec.init(jax.random.PRNGKey(0), jnp.asarray(q), enc_j)
+    sd = {k: v.numpy() for k, v in tdec.state_dict().items()}
+    params, batch_stats = convert_state_dict(
+        sd, variables["params"], variables.get("batch_stats", {})
+    )
+    jout = jdec.apply({"params": params}, jnp.asarray(q), enc_j)
+    np.testing.assert_allclose(np.asarray(jout), tout, rtol=1e-3, atol=2e-4)
+
+
 def test_train_mode_uses_batch_stats(rng):
     """Train-mode BN must normalise by batch stats and update running stats."""
     jmodel = build_model(_config("forward"))

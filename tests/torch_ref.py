@@ -259,6 +259,78 @@ class Encoder(tnn.Module):
         return {"z": z, "anchors": xyz, "anchor_feats": feats}
 
 
+class EncoderPNPP(tnn.Module):
+    """PointNet++-style ablation encoder replica."""
+
+    def __init__(self, npoints_per_layer, nneighbor, d_transformer,
+                 nfinal_transformers, has_features=False, inp_feat_dim=1):
+        super().__init__()
+        self.has_features = has_features
+        self.fc_middle = two_mlp(d_transformer, d_transformer)
+        self.fc_begin = two_mlp(
+            inp_feat_dim if has_features else 3, d_transformer
+        )
+        self.transition_downs = tnn.ModuleList()
+        self.elementwise = tnn.ModuleList()
+        for i in range(len(npoints_per_layer) - 1):
+            old_n, new_n = npoints_per_layer[i], npoints_per_layer[i + 1]
+            self.transition_downs.append(
+                TD(new_n, min(nneighbor, old_n), d_transformer,
+                   sa_type="maxpool")
+            )
+            self.elementwise.append(EW(d_transformer))
+        self.final_transformers = tnn.ModuleList(
+            TB(d_transformer, -1, group_all=True)
+            for _ in range(nfinal_transformers)
+        )
+        self.final_elementwise = tnn.ModuleList(
+            EW(d_transformer) for _ in range(nfinal_transformers)
+        )
+
+    def forward(self, xyz):
+        if self.has_features:
+            feats = self.fc_begin(xyz[:, :, 3:])
+            xyz = xyz[:, :, :3]
+        else:
+            feats = self.fc_begin(xyz)
+        for td, ew in zip(self.transition_downs, self.elementwise):
+            xyz, feats = td(xyz, feats)
+            feats = ew(feats)
+        for tb, ew in zip(self.final_transformers, self.final_elementwise):
+            feats = ew(tb(xyz, feats))
+        z = self.fc_middle(feats.max(1)[0])
+        return {"z": z, "anchors": xyz, "anchor_feats": feats}
+
+
+class InterpDecoder(tnn.Module):
+    """Gaussian-kernel interpolation decoder replica."""
+
+    def __init__(self, dim_inp, dim, out_dim=3, hidden_dim=50, n_blocks=5):
+        super().__init__()
+        self.fc0 = tnn.Linear(dim_inp, dim)
+        self.fc1 = tnn.Linear(dim, hidden_dim)
+        self.blocks = tnn.ModuleList(RB(hidden_dim) for _ in range(n_blocks))
+        self.fc_c = tnn.ModuleList(
+            tnn.Linear(dim, hidden_dim) for _ in range(n_blocks)
+        )
+        self.fc_out = tnn.Linear(hidden_dim, out_dim)
+        self.var = 0.2**2
+
+    def forward(self, xyz_q, enc):
+        p, fea = enc["anchors"], enc["anchor_feats"]
+        dist = -(
+            (p.unsqueeze(1).expand(-1, xyz_q.size(1), -1, -1)
+             - xyz_q.unsqueeze(2)).norm(dim=3) + 10e-6
+        ) ** 2
+        w = (dist / self.var).exp()
+        w = w / w.sum(dim=2).unsqueeze(-1)
+        lat = self.fc0(w @ fea)
+        net = self.fc1(tF.relu(lat))
+        for blk, fc in zip(self.blocks, self.fc_c):
+            net = blk(net + fc(lat))
+        return self.fc_out(tF.relu(net))
+
+
 class CTB(tnn.Module):
     """Cross-attention: queries attend to nearest anchors + global token."""
 
