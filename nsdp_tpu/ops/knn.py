@@ -35,7 +35,6 @@ def square_distance(src: jax.Array, dst: jax.Array) -> jax.Array:
     return jnp.maximum(d2, 0.0)
 
 
-@partial(jax.jit, static_argnames=("k", "chunk_size", "return_dist"))
 def knn(
     query: jax.Array,
     points: jax.Array,
@@ -44,6 +43,10 @@ def knn(
     return_dist: bool = False,
 ):
     """Indices of the k nearest points for each query.
+
+    On TPU this dispatches to the fused Pallas kernel
+    (:mod:`nsdp_tpu.ops.knn_pallas` — exact f32 distances + k-pass min
+    extraction, all in VMEM); elsewhere to the chunked XLA implementation.
 
     Args:
       query: (B, Nq, C) query positions.
@@ -56,6 +59,22 @@ def knn(
       (B, Nq, k) int32 indices, ordered by increasing distance
       (and (B, Nq, k) squared distances if ``return_dist``).
     """
+    if jax.default_backend() in ("tpu", "axon") and query.shape[-1] == 3:
+        from nsdp_tpu.ops.knn_pallas import knn_pallas
+
+        return knn_pallas(query, points, k, return_dist=return_dist)
+    return knn_xla(query, points, k, chunk_size, return_dist)
+
+
+@partial(jax.jit, static_argnames=("k", "chunk_size", "return_dist"))
+def knn_xla(
+    query: jax.Array,
+    points: jax.Array,
+    k: int,
+    chunk_size: int = 1024,
+    return_dist: bool = False,
+):
+    """Chunked XLA implementation (any backend, any coordinate dim)."""
     B, Nq, C = query.shape
     M = points.shape[1]
     if k > M:

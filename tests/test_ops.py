@@ -221,3 +221,29 @@ class TestThreeNN:
         d = np.abs(rng.rand(1, 7, 3)).astype(np.float32)
         w = np.asarray(interpolation_weights(jnp.asarray(d)))
         np.testing.assert_allclose(w.sum(-1), 1.0, rtol=1e-5)
+
+
+class TestKNNPallas:
+    def test_matches_xla(self, rng):
+        from nsdp_tpu.ops.knn import knn_xla
+        from nsdp_tpu.ops.knn_pallas import knn_pallas
+
+        for B, Nq, M, k in [(2, 300, 257, 7), (1, 129, 64, 10)]:
+            q = jnp.asarray(rng.randn(B, Nq, 3).astype(np.float32))
+            p = jnp.asarray(rng.randn(B, M, 3).astype(np.float32))
+            ref = np.asarray(knn_xla(q, p, k))
+            got = np.asarray(knn_pallas(q, p, k, tile=128, interpret=True))
+            np.testing.assert_array_equal(ref, got)
+
+    def test_return_dist(self, rng):
+        from nsdp_tpu.ops.knn import knn_xla
+        from nsdp_tpu.ops.knn_pallas import knn_pallas
+
+        q = jnp.asarray(rng.randn(1, 100, 3).astype(np.float32))
+        p = jnp.asarray(rng.randn(1, 200, 3).astype(np.float32))
+        _, ref_d = knn_xla(q, p, 5, return_dist=True)
+        _, got_d = knn_pallas(q, p, 5, tile=128, return_dist=True,
+                              interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got_d), np.asarray(ref_d), rtol=1e-4, atol=1e-5
+        )
