@@ -63,18 +63,32 @@ def build_deformation_network(
     no_input_corr: bool = False,
     dtype: Optional[jnp.dtype] = None,
 ) -> DeformationNetwork:
-    """Construct a single encoder+decoder deformation network from a config."""
+    """Construct a single encoder+decoder deformation network from a config.
+
+    ``config['model']['remat']: true`` wraps encoder and decoder in
+    ``nn.remat`` (activations recomputed in the backward pass — trades one
+    extra forward for dropping the multi-GB neighbourhood tensors from the
+    stored residuals; useful for large batch x point counts).
+    """
+    import flax.linen as fnn
+
     model_cfg = config["model"]
     has_features, inp_feat_dim = _feature_dims(model_cfg, no_input_corr)
+    remat = model_cfg.get("remat", False)
 
     encoder_cls = encoder_dict[model_cfg["encoder"]]
+    decoder_cls = decoder_dict[model_cfg["decoder"]]
+    if remat:
+        # static_argnums counts self at 0; arg 2 is the `train` bool.
+        encoder_cls = fnn.remat(encoder_cls, static_argnums=(2,))
+        decoder_cls = fnn.remat(decoder_cls, static_argnums=(3,))
+
     encoder = encoder_cls(
         has_features=has_features,
         inp_feat_dim=inp_feat_dim,
         dtype=dtype,
         **model_cfg["encoder_kwargs"],
     )
-    decoder_cls = decoder_dict[model_cfg["decoder"]]
     decoder = decoder_cls(dtype=dtype, **model_cfg["decoder_kwargs"])
 
     return DeformationNetwork(

@@ -50,10 +50,12 @@ class DeformationNetwork(fnn.Module):
             conditioning = surface_samples_inputs[:, :, 0:3]
         else:
             conditioning = surface_samples_inputs
-        return self.encoder(conditioning, train=train)
+        # `train` passed positionally: it is a remat static_argnum when the
+        # encoder/decoder are nn.remat-wrapped (kwargs are not supported).
+        return self.encoder(conditioning, train)
 
     def decode(self, points, encoding, train: bool = False):
-        return self.decoder(points, encoding, train=train)
+        return self.decoder(points, encoding, train)
 
     def __call__(self, points, surface_samples_inputs, train: bool = False):
         return self.decode(
