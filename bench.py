@@ -47,12 +47,15 @@ def main():
         train=False,
     )
 
+    from nsdp_tpu.models.fast_predict import make_fast_predict
+
+    predict = make_fast_predict(model, variables, "arbitrary", nneigh=7)
+    inputs_full = inputs
+
     @jax.jit
     def chain(space_src, k):
         def body(i, x):
-            return model.apply(
-                variables, x, surf_src, surf_tgt, mask, train=False
-            )
+            return predict(x, inputs_full)
         return jnp.sum(jax.lax.fori_loop(0, k, body, space_src))
 
     def sync_time(k, n=5):
