@@ -15,14 +15,31 @@ import jax
 import jax.numpy as jnp
 
 from nsdp_tpu.models.fast_decoder import decode_fast
+from nsdp_tpu.models.fast_encoder import encode_fast
+from nsdp_tpu.models.encoders import PointTransformerEncoder
 
 
-def _encoder_apply(net, variables, prefix, conditioning):
-    enc_vars = {
-        "params": variables["params"][prefix]["encoder"],
-        "batch_stats": variables["batch_stats"][prefix]["encoder"],
-    }
-    return net.encoder.apply(enc_vars, conditioning, train=False)
+def _encode(encoder, params, batch_stats, conditioning, interpret):
+    """Fused raw-param encoder when available, flax apply otherwise."""
+    if isinstance(encoder, PointTransformerEncoder):
+        return encode_fast(
+            encoder, params, batch_stats, conditioning, interpret=interpret
+        )
+    return encoder.apply(
+        {"params": params, "batch_stats": batch_stats},
+        conditioning,
+        train=False,
+    )
+
+
+def _encoder_apply(net, variables, prefix, conditioning, interpret=False):
+    return _encode(
+        net.encoder,
+        variables["params"][prefix]["encoder"],
+        variables["batch_stats"][prefix]["encoder"],
+        conditioning,
+        interpret,
+    )
 
 
 def make_fast_predict(
@@ -47,11 +64,13 @@ def make_fast_predict(
                 if no_corr
                 else surface_samples_inputs
             )
-            enc_vars = {
-                "params": variables["params"]["encoder"],
-                "batch_stats": variables["batch_stats"]["encoder"],
-            }
-            encoding = model.encoder.apply(enc_vars, cond, train=False)
+            encoding = _encode(
+                model.encoder,
+                variables["params"]["encoder"],
+                variables["batch_stats"]["encoder"],
+                cond,
+                interpret,
+            )
             return decode_fast(
                 variables["params"]["decoder"], points, encoding,
                 nneigh=nneigh, interpret=interpret,
@@ -72,7 +91,7 @@ def make_fast_predict(
         mask = surface_samples_inputs[:, :, 6:7]
 
         enc_b = _encoder_apply(
-            bwd, variables, "model_canonicalize", surf_src
+            bwd, variables, "model_canonicalize", surf_src, interpret
         )
         bwd_dec = variables["params"]["model_canonicalize"]["decoder"]
         space_cano = decode_fast(
@@ -83,7 +102,9 @@ def make_fast_predict(
         )
 
         conditioning = jnp.concatenate([surf_cano, surf_tgt, mask], axis=-1)
-        enc_f = _encoder_apply(fwd, variables, "model_deform", conditioning)
+        enc_f = _encoder_apply(
+            fwd, variables, "model_deform", conditioning, interpret
+        )
         return decode_fast(
             variables["params"]["model_deform"]["decoder"], space_cano, enc_f,
             nneigh=nneigh, interpret=interpret,

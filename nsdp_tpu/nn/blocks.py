@@ -107,7 +107,13 @@ class TransformerBlock(fnn.Module):
                 t[:, None, :, :], (B, n, n, t.shape[-1])
             )
         else:
-            idx = knn(jax.lax.stop_gradient(xyz), jax.lax.stop_gradient(xyz), self.k)
+            # torch argsort slicing is lenient when k exceeds the point
+            # count; clamp to match.
+            idx = knn(
+                jax.lax.stop_gradient(xyz),
+                jax.lax.stop_gradient(xyz),
+                min(self.k, n),
+            )
             knn_xyz = index_points(xyz, idx)
             gather = lambda t: index_points(t, idx)
 

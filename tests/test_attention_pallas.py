@@ -1,0 +1,91 @@
+"""Generic fused vector-attention kernel vs XLA reference math."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nsdp_tpu.ops.attention_pallas import fused_vector_attention
+from nsdp_tpu.ops.knn import knn_xla
+from nsdp_tpu.ops.gather import index_points
+
+
+def _mlp2(x, w0, b0, w1, b1):
+    return jnp.maximum(x @ w0 + b0, 0.0) @ w1 + b1
+
+
+def _ref_attention(xyz_q, kv_xyz, qf, K, V, weights, k, pos_only):
+    dw0, db0, dw1, db1, gw0, gb0, gw1, gb1 = weights
+    idx = knn_xla(xyz_q, kv_xyz, k)
+    pos = _mlp2(
+        xyz_q[:, :, None, :] - index_points(kv_xyz, idx), dw0, db0, dw1, db1
+    )
+    if pos_only:
+        logits = _mlp2(pos, gw0, gb0, gw1, gb1)
+        value = pos
+    else:
+        logits = _mlp2(
+            qf[:, :, None, :] - index_points(K, idx) + pos, gw0, gb0, gw1, gb1
+        )
+        value = index_points(V, idx) + pos
+    attn = jax.nn.softmax(logits, axis=-2)
+    return jnp.sum(attn * value, axis=-2)
+
+
+def _weights(rng, d):
+    return (
+        jnp.asarray(rng.randn(3, d).astype(np.float32) * 0.3),
+        jnp.asarray(rng.randn(d).astype(np.float32) * 0.1),
+        jnp.asarray(rng.randn(d, d).astype(np.float32) * 0.3),
+        jnp.asarray(rng.randn(d).astype(np.float32) * 0.1),
+        jnp.asarray(rng.randn(d, d).astype(np.float32) * 0.3),
+        jnp.asarray(rng.randn(d).astype(np.float32) * 0.1),
+        jnp.asarray(rng.randn(d, d).astype(np.float32) * 0.3),
+        jnp.asarray(rng.randn(d).astype(np.float32) * 0.1),
+    )
+
+
+def test_self_attention_with_features(rng):
+    B, N, d, k = 2, 150, 12, 6
+    xyz = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+    qf = jnp.asarray(rng.randn(B, N, d).astype(np.float32))
+    K = jnp.asarray(rng.randn(B, N, d).astype(np.float32))
+    V = jnp.asarray(rng.randn(B, N, d).astype(np.float32))
+    w = _weights(rng, d)
+    ref = _ref_attention(xyz, xyz, qf, K, V, w, k, False)
+    got = fused_vector_attention(
+        xyz, xyz, qf, K, V, *w, k=k, tile=128, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_pos_only(rng):
+    B, N, d, k = 1, 90, 10, 5
+    xyz = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+    w = _weights(rng, d)
+    ref = _ref_attention(xyz, xyz, None, None, None, w, k, True)
+    got = fused_vector_attention(
+        xyz, xyz, None, None, None, *w, k=k, tile=128, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_cross_attention_fps_centres(rng):
+    # queries are a subset of the cloud, kv the full cloud (TSA pattern)
+    B, M, S, d, k = 2, 200, 40, 14, 8
+    kv = jnp.asarray(rng.randn(B, M, 3).astype(np.float32))
+    centres = kv[:, :S]
+    qf = jnp.asarray(rng.randn(B, S, d).astype(np.float32))
+    K = jnp.asarray(rng.randn(B, M, d).astype(np.float32))
+    V = jnp.asarray(rng.randn(B, M, d).astype(np.float32))
+    w = _weights(rng, d)
+    ref = _ref_attention(centres, kv, qf, K, V, w, k, False)
+    got = fused_vector_attention(
+        centres, kv, qf, K, V, *w, k=k, tile=128, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
