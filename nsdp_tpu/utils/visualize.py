@@ -32,3 +32,41 @@ def error_map_colors(errors: np.ndarray, error_max: float = 0.1) -> np.ndarray:
 def vis_error_map(verts: np.ndarray, faces: np.ndarray, errors: np.ndarray):
     """(verts, faces, uint8 colors) triple for an error-colored mesh export."""
     return verts, faces, error_map_colors(errors)
+
+
+def export_flow_field(
+    path: str,
+    points_src: np.ndarray,
+    points_dst: np.ndarray,
+    stride: int = 1,
+) -> None:
+    """Write a deformation flow field as a PLY line set (src -> dst edges).
+
+    The standalone replacement for the reference's open3d arrow-field dumps
+    (``utils/visualize.py:201-312`` there): every ``stride``-th point emits a
+    line segment from its source to its deformed position, colored by
+    displacement magnitude.
+    """
+    src = np.asarray(points_src)[::stride]
+    dst = np.asarray(points_dst)[::stride]
+    n = len(src)
+    disp = np.linalg.norm(dst - src, axis=-1)
+    colors = error_map_colors(disp, max(float(disp.max()), 1e-6))
+
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {2 * n}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        f.write("property uchar red\nproperty uchar green\nproperty uchar blue\n")
+        f.write(f"element edge {n}\n")
+        f.write("property int vertex1\nproperty int vertex2\nend_header\n")
+        for i in range(n):
+            c = colors[i]
+            f.write(
+                f"{src[i][0]} {src[i][1]} {src[i][2]} {c[0]} {c[1]} {c[2]}\n"
+            )
+            f.write(
+                f"{dst[i][0]} {dst[i][1]} {dst[i][2]} {c[0]} {c[1]} {c[2]}\n"
+            )
+        for i in range(n):
+            f.write(f"{2 * i} {2 * i + 1}\n")

@@ -56,3 +56,26 @@ def test_async_checkpointer(tmp_path):
     assert any(
         f.startswith("modelbest_00003_") for f in os.listdir(tmp_path)
     )
+
+
+def test_jet_colormap_bounds():
+    from nsdp_tpu.utils.visualize import jet_colormap
+
+    rgb = jet_colormap(np.linspace(0, 1, 11))
+    assert rgb.shape == (11, 3)
+    assert rgb.min() >= 0.0 and rgb.max() <= 1.0
+    # low values blue-ish, high values red-ish
+    assert rgb[0, 2] > rgb[0, 0]
+    assert rgb[-1, 0] > rgb[-1, 2]
+
+
+def test_export_flow_field(tmp_path):
+    from nsdp_tpu.utils.visualize import export_flow_field
+
+    src = np.random.RandomState(0).randn(20, 3).astype(np.float32)
+    dst = src + 0.1
+    path = str(tmp_path / "flow.ply")
+    export_flow_field(path, src, dst, stride=2)
+    text = open(path).read()
+    assert "element vertex 20" in text
+    assert "element edge 10" in text
