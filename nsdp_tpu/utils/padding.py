@@ -31,7 +31,15 @@ def pad_queries(points: np.ndarray, bucket: int = 4096):
 
 
 def predict_padded(steps, state, points, surface_samples_inputs, bucket=4096):
-    """Evaluate the deformation field with query-axis bucket padding."""
+    """Evaluate the deformation field with query-axis bucket padding.
+
+    ``steps`` is either the dict from ``make_steps`` (flax path, uses
+    ``state``) or a bare ``predict(points, inputs)`` callable (fast path,
+    ``state`` ignored).
+    """
     padded, q = pad_queries(np.asarray(points), bucket)
-    out = steps["predict"](state, padded, surface_samples_inputs)
+    if callable(steps):
+        out = steps(padded, surface_samples_inputs)
+    else:
+        out = steps["predict"](state, padded, surface_samples_inputs)
     return np.asarray(out)[:, :q]

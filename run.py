@@ -89,6 +89,21 @@ def main(argv):
         print(f"Loading weight file from {weight_file}")
         state = load_model_variables(weight_file, state)
 
+    fast_predict = None
+    if (
+        jax.default_backend() in ("tpu", "axon")
+        and config["model"]["decoder"] == "crossatten"
+        and config["model"]["encoder"] == "pointransformer"
+    ):
+        from nsdp_tpu.models.fast_predict import make_fast_predict
+
+        fast_predict = make_fast_predict(
+            model,
+            {"params": state.params, "batch_stats": state.batch_stats},
+            model_type,
+            nneigh=config["model"]["decoder_kwargs"].get("nneigh", 7),
+        )
+
     # output folders named from the user-handle configuration
     userhandle_dirname = define_userhandle_folder_name(config)
     gen_mesh_dir = gen_pc_dir = None
@@ -112,11 +127,17 @@ def main(argv):
     for b, batch in enumerate(test_loader):
         inputs = batch["surface_samples_inputs"]
         surf_src = inputs[:, :, 0:3]
-        batch["surface_samples_tgt_pred"] = np.asarray(
-            steps["predict"](state, surf_src, inputs)
-        )
+        predictor = fast_predict if fast_predict is not None else steps
+        if fast_predict is not None:
+            batch["surface_samples_tgt_pred"] = np.asarray(
+                fast_predict(jnp.asarray(surf_src), jnp.asarray(inputs))
+            )
+        else:
+            batch["surface_samples_tgt_pred"] = np.asarray(
+                steps["predict"](state, surf_src, inputs)
+            )
         batch["verts_tgt_pred"] = predict_padded(
-            steps, state, batch["verts_src"], inputs
+            predictor, state, batch["verts_src"], inputs
         )
         logger.print_progress(-1, b + 1, 0.0)
 

@@ -1,0 +1,43 @@
+"""DeformationService: bucketed numpy-in/numpy-out inference."""
+
+import numpy as np
+
+from nsdp_tpu.serving import DeformationService
+from tests.test_fast_predict import CFG
+
+
+def test_service_deform_shapes(rng):
+    cfg = {
+        "model": dict(CFG["model"]),
+        "training": {"optimizer": "Adam", "lr": 1e-3},
+    }
+    service = DeformationService(cfg, buckets=(64, 256))
+    pts = rng.randn(50, 3).astype(np.float32)
+    surf = rng.randn(32, 3).astype(np.float32)
+    mask = np.ones((32, 1), np.float32)
+    inputs = np.concatenate([surf, surf * mask, mask], -1)
+
+    out = service.deform(pts, inputs)
+    assert out.shape == (50, 3)
+    assert np.isfinite(out).all()
+
+    # batched + above-bucket query counts
+    out_b = service.deform(pts[None].repeat(2, 0), inputs[None].repeat(2, 0))
+    assert out_b.shape == (2, 50, 3)
+    big = rng.randn(300, 3).astype(np.float32)
+    out_big = service.deform(big, inputs)
+    assert out_big.shape == (300, 3)
+
+
+def test_service_padding_exact(rng):
+    cfg = {
+        "model": dict(CFG["model"]),
+        "training": {"optimizer": "Adam", "lr": 1e-3},
+    }
+    service = DeformationService(cfg, buckets=(64,))
+    surf = rng.randn(32, 3).astype(np.float32)
+    inputs = np.concatenate([surf, surf, np.ones((32, 1), np.float32)], -1)
+    pts = rng.randn(40, 3).astype(np.float32)
+    a = service.deform(pts, inputs)
+    b = service.deform(pts[:20], inputs)
+    np.testing.assert_allclose(a[:20], b, rtol=1e-5, atol=1e-6)

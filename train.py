@@ -33,6 +33,9 @@ def parse_args(argv):
     parser.add_argument("--matmul_precision", default="highest",
                         choices=["default", "high", "highest"],
                         help="f32 matmul precision on the MXU")
+    parser.add_argument("--profile_dir", default=None,
+                        help="write a jax.profiler trace of epoch 0's first "
+                        "steps to this directory")
     return parser.parse_args(argv)
 
 
@@ -165,12 +168,19 @@ def main(argv):
     save_every = config["training"].get("save_frequency", 20)
     val_every = config["validation"].get("frequency", 10)
 
+    from nsdp_tpu.utils.profiling import StepTimer, trace_steps
+
+    timer = StepTimer()
     for epoch in range(args.continue_from_epoch, epochs):
         lr = lr_schedule.get_learning_rate(epoch)
-        for b, batch in enumerate(train_loader):
-            batch = shard_batch(batch, mesh)
-            state, loss = steps["train_step"](state, batch, lr)
-            logger.print_progress(epoch + 1, b + 1, float(loss))
+        profile_this_epoch = args.profile_dir and epoch == args.continue_from_epoch
+        with trace_steps(args.profile_dir if profile_this_epoch else None):
+            for b, batch in enumerate(train_loader):
+                batch = shard_batch(batch, mesh)
+                state, loss = steps["train_step"](state, batch, lr)
+                timer.tick()
+                logger["steps_per_sec"].value = timer.steps_per_sec
+                logger.print_progress(epoch + 1, b + 1, float(loss))
 
         if (epoch % save_every) == 0:
             save_checkpoints(epoch, state, experiment_directory)
