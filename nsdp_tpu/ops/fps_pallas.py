@@ -38,6 +38,7 @@ def _fps_kernel(xyz_ref, out_ref, *, npoint: int, n_valid: int):
     valid = (mag > 1e-3) & (lane < n_valid)
 
     big = jnp.int32(npad)
+    out_lane = jax.lax.broadcasted_iota(jnp.int32, (1, out_ref.shape[-1]), 1)
 
     def select_coords(idx):
         onehot = (lane == idx).astype(jnp.float32)  # (1, Npad)
@@ -53,9 +54,8 @@ def _fps_kernel(xyz_ref, out_ref, *, npoint: int, n_valid: int):
         m = jnp.max(cand)
         nxt = jnp.min(jnp.where((cand == m) & valid, lane, big))
         nxt = jnp.where(nxt == big, 0, nxt)  # all-invalid fallback
-        out_vec = jax.lax.dynamic_update_slice(
-            out_vec, jnp.reshape(nxt, (1, 1)), (0, i)
-        )
+        # dynamic_update_slice has no Mosaic lowering; select on the lane id.
+        out_vec = jnp.where(out_lane == i, nxt, out_vec)
         return mindist, out_vec, nxt
 
     init_out = jnp.zeros((1, out_ref.shape[-1]), jnp.int32)
