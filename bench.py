@@ -67,8 +67,18 @@ def main():
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
-    t1 = sync_time(1)
-    t2 = sync_time(1 + K)
+    # the tunnel to the chip is occasionally flaky; retry the measurement
+    last_err = None
+    for _ in range(3):
+        try:
+            t1 = sync_time(1)
+            t2 = sync_time(1 + K)
+            break
+        except Exception as e:  # transient transport error
+            last_err = e
+            time.sleep(20)
+    else:
+        raise last_err
     per_call = max((t2 - t1) / K, 1e-9)
     qps = Q / per_call
     print(

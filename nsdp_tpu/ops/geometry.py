@@ -96,3 +96,19 @@ def interpolation_weights(dist: jax.Array, eps: float = 1e-8) -> jax.Array:
     """Inverse-distance weights used with :func:`three_interpolate`."""
     recip = 1.0 / (dist + eps)
     return recip / jnp.sum(recip, axis=-1, keepdims=True)
+
+
+def fibonacci_sphere(samples: int = 1) -> jnp.ndarray:
+    """``samples`` points evenly distributed on the unit sphere (golden-angle
+    spiral; reference ``model/utils.py:13-36``)."""
+    import numpy as np
+
+    i = np.arange(samples, dtype=np.float64)
+    phi = np.pi * (3.0 - np.sqrt(5.0))
+    y = 1.0 - (i / max(samples - 1, 1)) * 2.0
+    radius = np.sqrt(np.maximum(1.0 - y * y, 0.0))
+    theta = phi * i
+    return jnp.asarray(
+        np.stack([np.cos(theta) * radius, y, np.sin(theta) * radius], axis=1),
+        dtype=jnp.float32,
+    )

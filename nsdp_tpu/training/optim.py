@@ -50,6 +50,9 @@ def optimizer_factory(config: Dict[str, Any]):
     )
 
     parts = []
+    clip_grad = config.get("clip_grad", 0.0)
+    if clip_grad:  # per-element value clipping (reference ``clamp_gradient``)
+        parts.append(optax.clip(clip_grad))
     if weight_decay:
         parts.append(optax.add_decayed_weights(weight_decay))
     if name == "Adam":

@@ -247,3 +247,28 @@ class TestKNNPallas:
         np.testing.assert_allclose(
             np.asarray(got_d), np.asarray(ref_d), rtol=1e-4, atol=1e-5
         )
+
+
+def test_fibonacci_sphere():
+    from nsdp_tpu.ops.geometry import fibonacci_sphere
+
+    pts = np.asarray(fibonacci_sphere(100))
+    np.testing.assert_allclose(
+        np.linalg.norm(pts, axis=1), 1.0, atol=1e-6
+    )
+    # roughly uniform: mean close to origin
+    assert np.abs(pts.mean(0)).max() < 0.1
+
+
+def test_clip_grad_option():
+    import optax
+    from nsdp_tpu.training.optim import optimizer_factory
+
+    _, tx = optimizer_factory({"optimizer": "SGD", "momentum": 0.0,
+                               "clip_grad": 0.5})
+    grads = {"w": jnp.asarray([2.0, -3.0, 0.1])}
+    state = tx.init(grads)
+    updates, _ = tx.update(grads, state, grads)
+    np.testing.assert_allclose(
+        np.asarray(updates["w"]), [0.5, -0.5, 0.1], rtol=1e-6
+    )
