@@ -99,6 +99,217 @@ def _attn_kernel(
     out_ref[0] = acc / s_run
 
 
+def _attn_bwd_kernel(
+    xyzq_ref, kvt_ref, kvxyz_ref, q_ref, k_ref, v_ref,
+    dw0_ref, db0_ref, dw1_ref, db1_ref,
+    gw0_ref, gb0_ref, gw1_ref, gb1_ref,
+    g_ref,
+    dxyzq_ref, dkvxyz_ref, dq_ref, dk_out_ref, dv_out_ref,
+    ddw0_ref, ddb0_ref, ddw1_ref, ddb1_ref,
+    dgw0_ref, dgb0_ref, dgw1_ref, dgb1_ref,
+    *, k: int, m_valid: int, pos_only: bool,
+):
+    """Backward of the fused attention: recompute per tile, accumulate
+    gradients for kv-side tensors and weights across grid steps (the output
+    windows revisit, Mosaic keeps them resident)."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    first_tile = t == 0
+    first_all = (b == 0) & (t == 0)
+
+    xyzq = xyzq_ref[0]
+    kvt = kvt_ref[0]
+    kvxyz = kvxyz_ref[0]
+    g = g_ref[0]  # (T, D)
+    T = xyzq.shape[0]
+    M = kvt.shape[-1]
+
+    dw0, db0 = dw0_ref[0], db0_ref[0]
+    dw1, db1 = dw1_ref[0], db1_ref[0]
+    gw0, gb0 = gw0_ref[0], gb0_ref[0]
+    gw1, gb1 = gw1_ref[0], gb1_ref[0]
+    D = dw1.shape[-1]
+
+    if not pos_only:
+        qf = q_ref[0]
+        K_a = k_ref[0]
+        V_a = v_ref[0]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (T, M), 1)
+    d2 = jnp.zeros((T, M), _F32)
+    for c in range(3):
+        diff = xyzq[:, c : c + 1] - kvt[c, :].reshape(1, M)
+        d2 = d2 + diff * diff
+    d2 = jnp.where(lane < m_valid, d2, jnp.inf)
+
+    # ---- pass 1: recompute per-slot intermediates -------------------------
+    big = jnp.int32(M)
+    idxs, dxs, hds, poss, us, hgs, logits_all = [], [], [], [], [], [], []
+    for _ in range(k):
+        mval = jnp.min(d2, axis=-1, keepdims=True)
+        idx = jnp.min(jnp.where(d2 == mval, lane, big), axis=-1, keepdims=True)
+        d2 = jnp.where(lane == idx, jnp.inf, d2)
+        onehot = (lane == idx).astype(_F32)
+
+        xyz_n = jnp.dot(onehot, kvxyz, preferred_element_type=_F32)
+        dx = xyzq - xyz_n
+        hd = jnp.maximum(jnp.dot(dx, dw0, preferred_element_type=_F32) + db0, 0.0)
+        pos = jnp.dot(hd, dw1, preferred_element_type=_F32) + db1
+        if pos_only:
+            u = pos
+        else:
+            k_n = jnp.dot(onehot, K_a, preferred_element_type=_F32)
+            u = qf - k_n + pos
+        hg = jnp.maximum(jnp.dot(u, gw0, preferred_element_type=_F32) + gb0, 0.0)
+        logits = jnp.dot(hg, gw1, preferred_element_type=_F32) + gb1
+        idxs.append(idx)
+        dxs.append(dx)
+        hds.append(hd)
+        poss.append(pos)
+        us.append(u)
+        hgs.append(hg)
+        logits_all.append(logits)
+
+    # softmax over slots (per channel)
+    m_max = logits_all[0]
+    for l in logits_all[1:]:
+        m_max = jnp.maximum(m_max, l)
+    exps = [jnp.exp(l - m_max) for l in logits_all]
+    s = exps[0]
+    for e in exps[1:]:
+        s = s + e
+    attn = [e / s for e in exps]
+
+    # ---- pass 2: gradients -------------------------------------------------
+    # init accumulated outputs on first visit
+    @pl.when(first_tile)
+    def _():
+        dkvxyz_ref[0] = jnp.zeros_like(dkvxyz_ref[0])
+        dk_out_ref[0] = jnp.zeros_like(dk_out_ref[0])
+        dv_out_ref[0] = jnp.zeros_like(dv_out_ref[0])
+
+    @pl.when(first_all)
+    def _():
+        ddw0_ref[0] = jnp.zeros_like(ddw0_ref[0])
+        ddb0_ref[0] = jnp.zeros_like(ddb0_ref[0])
+        ddw1_ref[0] = jnp.zeros_like(ddw1_ref[0])
+        ddb1_ref[0] = jnp.zeros_like(ddb1_ref[0])
+        dgw0_ref[0] = jnp.zeros_like(dgw0_ref[0])
+        dgb0_ref[0] = jnp.zeros_like(dgb0_ref[0])
+        dgw1_ref[0] = jnp.zeros_like(dgw1_ref[0])
+        dgb1_ref[0] = jnp.zeros_like(dgb1_ref[0])
+
+    # softmax jacobian: dlogits_j = a_j * (dattn_j - sum_i a_i*dattn_i)
+    # with dattn_j = g * val_j, and dval_j = g * a_j.
+    vals = []
+    for j in range(k):
+        if pos_only:
+            vals.append(poss[j])
+        else:
+            onehot = (lane == idxs[j]).astype(_F32)
+            v_n = jnp.dot(onehot, V_a, preferred_element_type=_F32)
+            vals.append(v_n + poss[j])
+    inner = attn[0] * (g * vals[0])
+    for j in range(1, k):
+        inner = inner + attn[j] * (g * vals[j])
+
+    dxyzq_acc = jnp.zeros((T, 8), _F32)
+    dq_acc = jnp.zeros((T, D), _F32)
+    ddw0_a = jnp.zeros_like(ddw0_ref[0])
+    ddb0_a = jnp.zeros_like(ddb0_ref[0])
+    ddw1_a = jnp.zeros_like(ddw1_ref[0])
+    ddb1_a = jnp.zeros_like(ddb1_ref[0])
+    dgw0_a = jnp.zeros_like(dgw0_ref[0])
+    dgb0_a = jnp.zeros_like(dgb0_ref[0])
+    dgw1_a = jnp.zeros_like(dgw1_ref[0])
+    dgb1_a = jnp.zeros_like(dgb1_ref[0])
+    dkvxyz_acc = jnp.zeros_like(dkvxyz_ref[0])
+    if not pos_only:
+        dk_acc = jnp.zeros_like(dk_out_ref[0])
+        dv_acc = jnp.zeros_like(dv_out_ref[0])
+
+    def mlp_bwd(dy, x, h, w0, w1):
+        # returns dx and weight grads of y = relu(x@w0+b0)@w1 + b1
+        dw1_ = jax.lax.dot_general(
+            h, dy, (((0,), (0,)), ((), ())), preferred_element_type=_F32
+        )
+        db1_ = jnp.sum(dy, axis=0, keepdims=True)
+        dh = jax.lax.dot_general(
+            dy, w1, (((1,), (1,)), ((), ())), preferred_element_type=_F32
+        )
+        dz = dh * (h > 0.0)
+        dw0_ = jax.lax.dot_general(
+            x, dz, (((0,), (0,)), ((), ())), preferred_element_type=_F32
+        )
+        db0_ = jnp.sum(dz, axis=0, keepdims=True)
+        dx = jax.lax.dot_general(
+            dz, w0, (((1,), (1,)), ((), ())), preferred_element_type=_F32
+        )
+        return dx, dw0_, db0_, dw1_, db1_
+
+    for j in range(k):
+        a_j = attn[j]
+        dattn_j = g * vals[j]
+        dlogits = a_j * (dattn_j - inner)
+        dval = g * a_j
+
+        du, gw0_d, gb0_d, gw1_d, gb1_d = mlp_bwd(
+            dlogits, us[j], hgs[j], gw0, gw1
+        )
+        dgw0_a += gw0_d
+        dgb0_a += gb0_d
+        dgw1_a += gw1_d
+        dgb1_a += gb1_d
+
+        if pos_only:
+            dpos = du + dval
+        else:
+            dpos = du + dval
+            dq_acc = dq_acc + du
+            onehot = (lane == idxs[j]).astype(_F32)
+            # scatter -du into dK, dval into dV: onehot^T @ grad
+            dk_acc = dk_acc + jax.lax.dot_general(
+                onehot, du, (((0,), (0,)), ((), ())),
+                preferred_element_type=_F32,
+            ) * (-1.0)
+            dv_acc = dv_acc + jax.lax.dot_general(
+                onehot, dval, (((0,), (0,)), ((), ())),
+                preferred_element_type=_F32,
+            )
+
+        ddx, dw0_d, db0_d, dw1_d, db1_d = mlp_bwd(
+            dpos, dxs[j], hds[j], dw0, dw1
+        )
+        ddw0_a += dw0_d
+        ddb0_a += db0_d
+        ddw1_a += dw1_d
+        ddb1_a += db1_d
+
+        dxyzq_acc = dxyzq_acc + ddx
+        onehot = (lane == idxs[j]).astype(_F32)
+        dkvxyz_acc = dkvxyz_acc + jax.lax.dot_general(
+            onehot, ddx, (((0,), (0,)), ((), ())),
+            preferred_element_type=_F32,
+        ) * (-1.0)
+
+    dxyzq_ref[0] = dxyzq_acc
+    if not pos_only:
+        dq_ref[0] = dq_acc
+        dk_out_ref[0] += dk_acc
+        dv_out_ref[0] += dv_acc
+    else:
+        dq_ref[0] = jnp.zeros_like(dq_ref[0])
+    dkvxyz_ref[0] += dkvxyz_acc
+    ddw0_ref[0] += ddw0_a
+    ddb0_ref[0] += ddb0_a
+    ddw1_ref[0] += ddw1_a
+    ddb1_ref[0] += ddb1_a
+    dgw0_ref[0] += dgw0_a
+    dgb0_ref[0] += dgb0_a
+    dgw1_ref[0] += dgw1_a
+    dgb1_ref[0] += dgb1_a
+
+
 @partial(jax.jit, static_argnames=("k", "tile", "interpret"))
 def fused_vector_attention(
     xyz_q,
@@ -199,3 +410,193 @@ def fused_vector_attention(
     )(xyzq, kvt, kvxyz, qf, K_p, V_p,
       dw0, db0, dw1, db1, gw0, gb0, gw1, gb1)
     return out[:, :Nq]
+
+
+@partial(jax.jit, static_argnames=("k", "tile", "interpret"))
+def _fused_attention_bwd(
+    xyz_q, kv_xyz, q_feats, K_a, V_a,
+    delta_w0, delta_b0, delta_w1, delta_b1,
+    gamma_w0, gamma_b0, gamma_w1, gamma_b1,
+    g,
+    k: int,
+    tile: int = 256,
+    interpret: bool = False,
+):
+    """Pallas backward pass; returns grads for every differentiable input."""
+    B, Nq, _ = xyz_q.shape
+    M = kv_xyz.shape[1]
+    D = delta_w1.shape[-1]
+    k = min(k, M)
+    pos_only = q_feats is None
+
+    tile = min(tile, _round_up(Nq, 128))
+    q_pad = _round_up(Nq, tile)
+    m_pad = _round_up(M, 128)
+    n_tiles = q_pad // tile
+
+    xyzq = jnp.pad(xyz_q.astype(_F32), ((0, 0), (0, q_pad - Nq), (0, 5)))
+    kvt = jnp.pad(
+        jnp.swapaxes(kv_xyz.astype(_F32), 1, 2),
+        ((0, 0), (0, 5), (0, m_pad - M)),
+    )
+    kvxyz = jnp.pad(kv_xyz.astype(_F32), ((0, 0), (0, m_pad - M), (0, 5)))
+    g_p = jnp.pad(g.astype(_F32), ((0, 0), (0, q_pad - Nq), (0, 0)))
+    if pos_only:
+        qf = jnp.zeros((B, q_pad, 1), _F32)
+        K_p = jnp.zeros((B, m_pad, 1), _F32)
+        V_p = jnp.zeros((B, m_pad, 1), _F32)
+        feat_d = 1
+    else:
+        qf = jnp.pad(q_feats.astype(_F32), ((0, 0), (0, q_pad - Nq), (0, 0)))
+        K_p = jnp.pad(K_a.astype(_F32), ((0, 0), (0, m_pad - M), (0, 0)))
+        V_p = jnp.pad(V_a.astype(_F32), ((0, 0), (0, m_pad - M), (0, 0)))
+        feat_d = D
+
+    dw0 = jnp.pad(delta_w0.astype(_F32), ((0, 8 - delta_w0.shape[0]), (0, 0)))[None]
+    dw1 = delta_w1.astype(_F32)[None]
+    gw0 = gamma_w0.astype(_F32)[None]
+    gw1 = gamma_w1.astype(_F32)[None]
+    db0 = delta_b0.astype(_F32)[None, None]
+    db1 = delta_b1.astype(_F32)[None, None]
+    gb0 = gamma_b0.astype(_F32)[None, None]
+    gb1 = gamma_b1.astype(_F32)[None, None]
+
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda b, t: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    per_b = lambda shape: pl.BlockSpec(
+        shape, lambda b, t: (b,) + (0,) * (len(shape) - 1),
+        memory_space=pltpu.VMEM,
+    )
+    per_tile = lambda width: pl.BlockSpec(
+        (1, tile, width), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
+    )
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, q_pad, 8), _F32),        # dxyzq
+        jax.ShapeDtypeStruct((B, m_pad, 8), _F32),        # dkvxyz
+        jax.ShapeDtypeStruct((B, q_pad, feat_d), _F32),   # dq
+        jax.ShapeDtypeStruct((B, m_pad, feat_d), _F32),   # dK
+        jax.ShapeDtypeStruct((B, m_pad, feat_d), _F32),   # dV
+        jax.ShapeDtypeStruct((1, 8, D), _F32),            # ddw0
+        jax.ShapeDtypeStruct((1, 1, D), _F32),            # ddb0
+        jax.ShapeDtypeStruct((1, D, D), _F32),            # ddw1
+        jax.ShapeDtypeStruct((1, 1, D), _F32),            # ddb1
+        jax.ShapeDtypeStruct((1, D, D), _F32),            # dgw0
+        jax.ShapeDtypeStruct((1, 1, D), _F32),            # dgb0
+        jax.ShapeDtypeStruct((1, D, D), _F32),            # dgw1
+        jax.ShapeDtypeStruct((1, 1, D), _F32),            # dgb1
+    )
+    out_specs = (
+        per_tile(8),
+        per_b((1, m_pad, 8)),
+        per_tile(feat_d),
+        per_b((1, m_pad, feat_d)),
+        per_b((1, m_pad, feat_d)),
+        const((1, 8, D)),
+        const((1, 1, D)),
+        const((1, D, D)),
+        const((1, 1, D)),
+        const((1, D, D)),
+        const((1, 1, D)),
+        const((1, D, D)),
+        const((1, 1, D)),
+    )
+
+    outs = pl.pallas_call(
+        partial(_attn_bwd_kernel, k=k, m_valid=M, pos_only=pos_only),
+        out_shape=out_shapes,
+        grid=(B, n_tiles),
+        in_specs=[
+            per_tile(8),
+            per_b((1, 8, m_pad)),
+            per_b((1, m_pad, 8)),
+            per_tile(feat_d),
+            per_b((1, m_pad, feat_d)),
+            per_b((1, m_pad, feat_d)),
+            const((1, 8, D)),
+            const((1, 1, D)),
+            const((1, D, D)),
+            const((1, 1, D)),
+            const((1, D, D)),
+            const((1, 1, D)),
+            const((1, D, D)),
+            const((1, 1, D)),
+            per_tile(D),
+        ],
+        out_specs=out_specs,
+        interpret=interpret,
+    )(xyzq, kvt, kvxyz, qf, K_p, V_p,
+      dw0, db0, dw1, db1, gw0, gb0, gw1, gb1, g_p)
+
+    (dxyzq, dkvxyz, dq, dK, dV,
+     ddw0, ddb0, ddw1, ddb1, dgw0, dgb0, dgw1, dgb1) = outs
+
+    in_dim = delta_w0.shape[0]
+    grads = (
+        dxyzq[:, :Nq, :3],
+        dkvxyz[:, :M, :3],
+        None if pos_only else dq[:, :Nq],
+        None if pos_only else dK[:, :M],
+        None if pos_only else dV[:, :M],
+        ddw0[0, :in_dim], ddb0[0, 0], ddw1[0], ddb1[0, 0],
+        dgw0[0], dgb0[0, 0], dgw1[0], dgb1[0, 0],
+    )
+    return grads
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15))
+def knn_vector_attention(
+    xyz_q, kv_xyz, q_feats, K_a, V_a,
+    delta_w0, delta_b0, delta_w1, delta_b1,
+    gamma_w0, gamma_b0, gamma_w1, gamma_b1,
+    k: int, tile: int = 256, interpret: bool = False,
+):
+    """Differentiable fused kNN vector attention (custom VJP, both passes in
+    Pallas).  Same semantics as :func:`fused_vector_attention`; gradients
+    match the gather-based XLA formulation (kNN indices are constants, as in
+    the reference's ``no_grad`` neighbourhood search)."""
+    return fused_vector_attention(
+        xyz_q, kv_xyz, q_feats, K_a, V_a,
+        delta_w0, delta_b0, delta_w1, delta_b1,
+        gamma_w0, gamma_b0, gamma_w1, gamma_b1,
+        k=k, tile=tile, interpret=interpret,
+    )
+
+
+def _kva_fwd(
+    xyz_q, kv_xyz, q_feats, K_a, V_a,
+    delta_w0, delta_b0, delta_w1, delta_b1,
+    gamma_w0, gamma_b0, gamma_w1, gamma_b1,
+    k, tile, interpret,
+):
+    out = fused_vector_attention(
+        xyz_q, kv_xyz, q_feats, K_a, V_a,
+        delta_w0, delta_b0, delta_w1, delta_b1,
+        gamma_w0, gamma_b0, gamma_w1, gamma_b1,
+        k=k, tile=tile, interpret=interpret,
+    )
+    residuals = (
+        xyz_q, kv_xyz, q_feats, K_a, V_a,
+        delta_w0, delta_b0, delta_w1, delta_b1,
+        gamma_w0, gamma_b0, gamma_w1, gamma_b1,
+    )
+    return out, residuals
+
+
+def _kva_bwd(k, tile, interpret, residuals, g):
+    (xyz_q, kv_xyz, q_feats, K_a, V_a,
+     delta_w0, delta_b0, delta_w1, delta_b1,
+     gamma_w0, gamma_b0, gamma_w1, gamma_b1) = residuals
+    grads = _fused_attention_bwd(
+        xyz_q, kv_xyz, q_feats, K_a, V_a,
+        delta_w0, delta_b0, delta_w1, delta_b1,
+        gamma_w0, gamma_b0, gamma_w1, gamma_b1,
+        g, k=k, tile=tile, interpret=interpret,
+    )
+    if q_feats is None:
+        grads = (grads[0], grads[1], None, None, None) + grads[5:]
+    return grads
+
+
+knn_vector_attention.defvjp(_kva_fwd, _kva_bwd)

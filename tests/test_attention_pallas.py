@@ -89,3 +89,81 @@ def test_cross_attention_fps_centres(rng):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5
     )
+
+
+class TestCustomVJP:
+    def _grads_ref(self, args, w, k, pos_only):
+        xyz, kv, qf, K, V = args
+
+        def loss(xyz, kv, qf, K, V, *w):
+            out = _ref_attention(
+                xyz, kv, qf, K, V, w, k, pos_only
+            )
+            return jnp.sum(out * out)
+
+        if pos_only:
+            f = lambda xyz, kv, *w: loss(xyz, kv, None, None, None, *w)
+            return jax.grad(f, argnums=tuple(range(2 + 8)))(xyz, kv, *w)
+        return jax.grad(loss, argnums=tuple(range(5 + 8)))(xyz, kv, qf, K, V, *w)
+
+    def _grads_fused(self, args, w, k, pos_only):
+        from nsdp_tpu.ops.attention_pallas import knn_vector_attention
+
+        xyz, kv, qf, K, V = args
+
+        def loss(xyz, kv, qf, K, V, *w):
+            out = knn_vector_attention(
+                xyz, kv, qf, K, V, *w, k, 128, True
+            )
+            return jnp.sum(out * out)
+
+        if pos_only:
+            f = lambda xyz, kv, *w: loss(xyz, kv, None, None, None, *w)
+            return jax.grad(f, argnums=tuple(range(2 + 8)))(xyz, kv, *w)
+        return jax.grad(loss, argnums=tuple(range(5 + 8)))(xyz, kv, qf, K, V, *w)
+
+    def test_grads_with_features(self, rng):
+        B, N, d, k = 2, 96, 10, 5
+        xyz = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+        qf = jnp.asarray(rng.randn(B, N, d).astype(np.float32))
+        K = jnp.asarray(rng.randn(B, N, d).astype(np.float32))
+        V = jnp.asarray(rng.randn(B, N, d).astype(np.float32))
+        w = _weights(rng, d)
+        ref = self._grads_ref((xyz, xyz, qf, K, V), w, k, False)
+        got = self._grads_fused((xyz, xyz, qf, K, V), w, k, False)
+        assert len(ref) == len(got)
+        for i, (r, g) in enumerate(zip(ref, got)):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(r), rtol=1e-3, atol=1e-4,
+                err_msg=f"grad {i}",
+            )
+
+    def test_grads_pos_only(self, rng):
+        B, N, d, k = 1, 80, 8, 4
+        xyz = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+        w = _weights(rng, d)
+        ref = self._grads_ref((xyz, xyz, None, None, None), w, k, True)
+        got = self._grads_fused((xyz, xyz, None, None, None), w, k, True)
+        for i, (r, g) in enumerate(zip(ref, got)):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(r), rtol=1e-3, atol=1e-4,
+                err_msg=f"grad {i}",
+            )
+
+    def test_grads_cross(self, rng):
+        # self-attention grads accumulate both query-side and kv-side
+        # contributions into the same xyz; cross pattern separates them
+        B, M, S, d, k = 1, 120, 30, 8, 6
+        kv = jnp.asarray(rng.randn(B, M, 3).astype(np.float32))
+        centres = jnp.asarray(rng.randn(B, S, 3).astype(np.float32))
+        qf = jnp.asarray(rng.randn(B, S, d).astype(np.float32))
+        K = jnp.asarray(rng.randn(B, M, d).astype(np.float32))
+        V = jnp.asarray(rng.randn(B, M, d).astype(np.float32))
+        w = _weights(rng, d)
+        ref = self._grads_ref((centres, kv, qf, K, V), w, k, False)
+        got = self._grads_fused((centres, kv, qf, K, V), w, k, False)
+        for i, (r, g) in enumerate(zip(ref, got)):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(r), rtol=1e-3, atol=1e-4,
+                err_msg=f"grad {i}",
+            )
