@@ -83,10 +83,14 @@ def build_deformation_network(
         encoder_cls = fnn.remat(encoder_cls, static_argnums=(2,))
         decoder_cls = fnn.remat(decoder_cls, static_argnums=(3,))
 
+    extra = {}
+    if model_cfg.get("fused_attention", False) and encoder_cls is encoder_dict["pointransformer"]:
+        extra["fused"] = True
     encoder = encoder_cls(
         has_features=has_features,
         inp_feat_dim=inp_feat_dim,
         dtype=dtype,
+        **extra,
         **model_cfg["encoder_kwargs"],
     )
     decoder = decoder_cls(dtype=dtype, **model_cfg["decoder_kwargs"])

@@ -44,6 +44,7 @@ class PointTransformerEncoder(fnn.Module):
     has_features: bool = False
     inp_feat_dim: int = 1
     dtype: Optional[jnp.dtype] = None
+    fused: bool = False  # differentiable Pallas attention for kNN blocks
 
     @fnn.compact
     def __call__(self, xyz, train: bool = False):
@@ -57,6 +58,7 @@ class PointTransformerEncoder(fnn.Module):
                 self.nneighbor_reduced,
                 pos_only=False,
                 dtype=self.dtype,
+                fused=self.fused,
                 name="transformer_begin",
             )(xyz, feats_in, train)
         else:
@@ -65,6 +67,7 @@ class PointTransformerEncoder(fnn.Module):
                 self.nneighbor_reduced,
                 pos_only=True,
                 dtype=self.dtype,
+                fused=self.fused,
                 name="transformer_begin",
             )(xyz, None, train)
 
@@ -80,6 +83,7 @@ class PointTransformerEncoder(fnn.Module):
                 dim,
                 sa_type="attentive",
                 dtype=self.dtype,
+                fused=self.fused,
                 name=f"transition_downs_{i}",
             )(xyz, feats, train)
             feats = ElementwiseMLP(
@@ -89,6 +93,7 @@ class PointTransformerEncoder(fnn.Module):
                 dim,
                 min(self.nneighbor, new_n),
                 dtype=self.dtype,
+                fused=self.fused,
                 name=f"transformer_downs_{i}",
             )(xyz, feats, train)
             if i == 0 and self.d_reduced != self.d_transformer:
@@ -105,6 +110,7 @@ class PointTransformerEncoder(fnn.Module):
                 2 * self.nneighbor,
                 group_all=self.full_SA,
                 dtype=self.dtype,
+                fused=self.fused,
                 name=f"final_transformers_{i}",
             )(xyz, feats, train)
             feats = ElementwiseMLP(

@@ -40,6 +40,46 @@ class TwoLayerMLP(fnn.Module):
         return fnn.Dense(self.features, dtype=self.dtype, name="fc1")(x)
 
 
+class DenseWeights(fnn.Module):
+    """Declares Dense-compatible params (kernel/bias) and returns them raw.
+
+    Produces the exact same parameter tree as ``fnn.Dense`` with the same
+    name and initialisers, so checkpoints are interchangeable between the
+    standard path (Dense applies the weights) and the fused-kernel path
+    (the Pallas kernel consumes them directly)."""
+
+    features: int
+    use_bias: bool = True
+
+    @fnn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel",
+            fnn.initializers.lecun_normal(),
+            (in_features, self.features),
+        )
+        bias = (
+            self.param(
+                "bias", fnn.initializers.zeros_init(), (self.features,)
+            )
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
+class TwoLayerMLPWeights(fnn.Module):
+    """Raw weights of a :class:`TwoLayerMLP` (same param tree)."""
+
+    features: int
+
+    @fnn.compact
+    def __call__(self, in_features: int):
+        k0, b0 = DenseWeights(self.features, name="fc0")(in_features)
+        k1, b1 = DenseWeights(self.features, name="fc1")(self.features)
+        return k0, b0, k1, b1
+
+
 class BatchNorm(fnn.Module):
     """BatchNorm over all axes but the last, torch-``BatchNorm1d``-compatible."""
 
@@ -94,10 +134,31 @@ class TransformerBlock(fnn.Module):
     pos_only: bool = False
     group_all: bool = False
     dtype: Optional[jnp.dtype] = None
+    fused: bool = False  # differentiable Pallas attention (TPU; f32)
 
     @fnn.compact
     def __call__(self, xyz, feats=None, train: bool = False):
         B, n, _ = xyz.shape
+
+        if self.fused and not self.group_all:
+            from nsdp_tpu.ops.attention_pallas import knn_vector_attention
+
+            dw = TwoLayerMLPWeights(self.d_model, name="fc_delta")(3)
+            gw = TwoLayerMLPWeights(self.d_model, name="fc_gamma")(self.d_model)
+            kk = min(self.k, n)
+            if self.pos_only:
+                res = knn_vector_attention(
+                    xyz, xyz, None, None, None, *dw, *gw, kk
+                )
+            else:
+                q = fnn.Dense(self.d_model, use_bias=False, name="w_qs")(feats)
+                k_ = fnn.Dense(self.d_model, use_bias=False, name="w_ks")(feats)
+                v = fnn.Dense(self.d_model, use_bias=False, name="w_vs")(feats)
+                res = knn_vector_attention(
+                    xyz, xyz, q, k_, v, *dw, *gw, kk
+                ) + feats
+            return BatchNorm(dtype=self.dtype, name="bn")(res, train)
+
         fc_delta = TwoLayerMLP(self.d_model, dtype=self.dtype, name="fc_delta")
         fc_gamma = TwoLayerMLP(self.d_model, dtype=self.dtype, name="fc_gamma")
 
@@ -163,6 +224,7 @@ class TransformerSetAbstraction(fnn.Module):
     nneigh: int
     dim: int
     dtype: Optional[jnp.dtype] = None
+    fused: bool = False  # differentiable Pallas attention (TPU; f32)
 
     @fnn.compact
     def __call__(self, xyz, points, train: bool = False):
@@ -170,14 +232,53 @@ class TransformerSetAbstraction(fnn.Module):
         xyz_ng = jax.lax.stop_gradient(xyz)
         fps_idx = furthest_point_sample(xyz_ng, self.npoint)
         new_xyz = index_points(xyz, fps_idx)
+
+        dense = lambda name: fnn.Dense(
+            self.dim, use_bias=False, dtype=self.dtype, name=name
+        )
+
+        if self.fused:
+            from nsdp_tpu.ops.attention_pallas import knn_vector_attention
+
+            # TSA's position delta is (neighbour - centre); negating both
+            # coordinate sets flips the kernel's (query - neighbour) delta
+            # while distances are unchanged.
+            dw = TwoLayerMLPWeights(self.dim, name="fc_delta1")(3)
+            g1w = TwoLayerMLPWeights(self.dim, name="fc_gamma1")(self.dim)
+            g2w = TwoLayerMLPWeights(self.dim, name="fc_gamma2")(self.dim)
+            kk = min(self.nneigh, xyz.shape[1])
+            q1 = index_points(dense("w_qs")(points), fps_idx)
+            res1 = knn_vector_attention(
+                -new_xyz, -xyz, q1,
+                dense("w_ks")(points), dense("w_vs")(points),
+                *dw, *g1w, kk,
+            )
+            h = fnn.Dense(self.dim, dtype=self.dtype, name="conv1")(res1)
+            h = fnn.relu(BatchNorm(dtype=self.dtype, name="bn1")(h, train))
+            h = fnn.Dense(self.dim, dtype=self.dtype, name="conv2")(h)
+            res1 = BatchNorm(dtype=self.dtype, name="bnorm0")(res1 + h, train)
+            q2 = fnn.Dense(
+                self.dim, use_bias=False, dtype=self.dtype, name="w_qs2"
+            )(res1)
+            res2 = knn_vector_attention(
+                -new_xyz, -xyz, q2,
+                dense("w_ks2")(points), dense("w_vs2")(points),
+                *dw, *g2w, kk,
+            )
+            new_points = BatchNorm(dtype=self.dtype, name="bnorm1")(
+                res1 + res2, train
+            )
+            new_points = new_points + index_points(points, fps_idx)
+            new_points = BatchNorm(dtype=self.dtype, name="bnorm2")(
+                new_points, train
+            )
+            return new_xyz, new_points
+
         idx = knn(jax.lax.stop_gradient(new_xyz), xyz_ng, self.nneigh)
 
         fc_delta1 = TwoLayerMLP(self.dim, dtype=self.dtype, name="fc_delta1")
         fc_gamma1 = TwoLayerMLP(self.dim, dtype=self.dtype, name="fc_gamma1")
         fc_gamma2 = TwoLayerMLP(self.dim, dtype=self.dtype, name="fc_gamma2")
-        dense = lambda name: fnn.Dense(
-            self.dim, use_bias=False, dtype=self.dtype, name=name
-        )
 
         grouped_xyz = index_points(xyz, idx)
         pos_enc = fc_delta1(grouped_xyz - new_xyz[:, :, None, :])
@@ -250,12 +351,14 @@ class TransitionDown(fnn.Module):
     dim: int
     sa_type: str = "attentive"
     dtype: Optional[jnp.dtype] = None
+    fused: bool = False
 
     @fnn.compact
     def __call__(self, xyz, points, train: bool = False):
         if self.sa_type == "attentive":
             sa = TransformerSetAbstraction(
-                self.npoint, self.nneigh, self.dim, dtype=self.dtype, name="sa"
+                self.npoint, self.nneigh, self.dim, dtype=self.dtype,
+                fused=self.fused, name="sa"
             )
         elif self.sa_type == "maxpool":
             sa = PointNetSetAbstraction(

@@ -28,6 +28,13 @@ from jax.experimental.pallas import tpu as pltpu
 _F32 = jnp.float32
 
 
+
+def _resolve_interpret(interpret):
+    """None -> interpret on CPU (tests), compiled on TPU/axon."""
+    if interpret is None:
+        return jax.default_backend() not in ("tpu", "axon")
+    return interpret
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -321,7 +328,7 @@ def fused_vector_attention(
     gamma_w0, gamma_b0, gamma_w1, gamma_b1,
     k: int,
     tile: int = 256,
-    interpret: bool = False,
+    interpret: bool = None,
 ):
     """Fused kNN vector attention (pre-residual, pre-norm).
 
@@ -336,6 +343,7 @@ def fused_vector_attention(
     Returns:
       (B, Nq, D) float32.
     """
+    interpret = _resolve_interpret(interpret)
     B, Nq, _ = xyz_q.shape
     M = kv_xyz.shape[1]
     D = delta_w1.shape[-1]
@@ -420,9 +428,10 @@ def _fused_attention_bwd(
     g,
     k: int,
     tile: int = 256,
-    interpret: bool = False,
+    interpret: bool = None,
 ):
     """Pallas backward pass; returns grads for every differentiable input."""
+    interpret = _resolve_interpret(interpret)
     B, Nq, _ = xyz_q.shape
     M = kv_xyz.shape[1]
     D = delta_w1.shape[-1]
@@ -550,7 +559,7 @@ def knn_vector_attention(
     xyz_q, kv_xyz, q_feats, K_a, V_a,
     delta_w0, delta_b0, delta_w1, delta_b1,
     gamma_w0, gamma_b0, gamma_w1, gamma_b1,
-    k: int, tile: int = 256, interpret: bool = False,
+    k: int, tile: int = 256, interpret: bool = None,
 ):
     """Differentiable fused kNN vector attention (custom VJP, both passes in
     Pallas).  Same semantics as :func:`fused_vector_attention`; gradients
