@@ -83,17 +83,21 @@ def build_deformation_network(
         encoder_cls = fnn.remat(encoder_cls, static_argnums=(2,))
         decoder_cls = fnn.remat(decoder_cls, static_argnums=(3,))
 
-    extra = {}
-    if model_cfg.get("fused_attention", False) and encoder_cls is encoder_dict["pointransformer"]:
-        extra["fused"] = True
+    fused = model_cfg.get("fused_attention", False)
+    enc_extra = {}
+    if fused and encoder_cls is encoder_dict["pointransformer"]:
+        enc_extra["fused"] = True
     encoder = encoder_cls(
         has_features=has_features,
         inp_feat_dim=inp_feat_dim,
         dtype=dtype,
-        **extra,
+        **enc_extra,
         **model_cfg["encoder_kwargs"],
     )
-    decoder = decoder_cls(dtype=dtype, **model_cfg["decoder_kwargs"])
+    dec_extra = {}
+    if fused and decoder_cls is decoder_dict["crossatten"]:
+        dec_extra["fused"] = True
+    decoder = decoder_cls(dtype=dtype, **dec_extra, **model_cfg["decoder_kwargs"])
 
     return DeformationNetwork(
         encoder=encoder, decoder=decoder, no_input_corr=no_input_corr

@@ -35,6 +35,7 @@ class CrossTransformerDecoder(fnn.Module):
     n_blocks: int = 5
     out_dim: int = 1
     dtype: Optional[jnp.dtype] = None
+    fused: bool = False  # differentiable Pallas cross attention
 
     @fnn.compact
     def __call__(self, xyz_q, encoding, train: bool = False):
@@ -43,6 +44,7 @@ class CrossTransformerDecoder(fnn.Module):
             self.dim,
             nneigh=self.nneigh,
             dtype=self.dtype,
+            fused=self.fused,
             name="ct1",
         )(xyz_q, encoding["z"], encoding["anchors"], encoding["anchor_feats"])
 

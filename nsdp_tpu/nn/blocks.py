@@ -148,14 +148,14 @@ class TransformerBlock(fnn.Module):
             kk = min(self.k, n)
             if self.pos_only:
                 res = knn_vector_attention(
-                    xyz, xyz, None, None, None, *dw, *gw, kk
+                    xyz, xyz, None, None, None, None, None, *dw, *gw, kk
                 )
             else:
                 q = fnn.Dense(self.d_model, use_bias=False, name="w_qs")(feats)
                 k_ = fnn.Dense(self.d_model, use_bias=False, name="w_ks")(feats)
                 v = fnn.Dense(self.d_model, use_bias=False, name="w_vs")(feats)
                 res = knn_vector_attention(
-                    xyz, xyz, q, k_, v, *dw, *gw, kk
+                    xyz, xyz, q, k_, v, None, None, *dw, *gw, kk
                 ) + feats
             return BatchNorm(dtype=self.dtype, name="bn")(res, train)
 
@@ -251,7 +251,7 @@ class TransformerSetAbstraction(fnn.Module):
             res1 = knn_vector_attention(
                 -new_xyz, -xyz, q1,
                 dense("w_ks")(points), dense("w_vs")(points),
-                *dw, *g1w, kk,
+                None, None, *dw, *g1w, kk,
             )
             h = fnn.Dense(self.dim, dtype=self.dtype, name="conv1")(res1)
             h = fnn.relu(BatchNorm(dtype=self.dtype, name="bn1")(h, train))
@@ -263,7 +263,7 @@ class TransformerSetAbstraction(fnn.Module):
             res2 = knn_vector_attention(
                 -new_xyz, -xyz, q2,
                 dense("w_ks2")(points), dense("w_vs2")(points),
-                *dw, *g2w, kk,
+                None, None, *dw, *g2w, kk,
             )
             new_points = BatchNorm(dtype=self.dtype, name="bnorm1")(
                 res1 + res2, train
@@ -385,6 +385,7 @@ class CrossTransformerBlock(fnn.Module):
     nneigh: int = 7
     reduce_dim: bool = True
     dtype: Optional[jnp.dtype] = None
+    fused: bool = False  # differentiable Pallas attention (TPU; f32)
 
     @fnn.compact
     def __call__(self, xyz_q, lat_rep, xyz, points):
@@ -392,6 +393,26 @@ class CrossTransformerBlock(fnn.Module):
         dense = lambda name: fnn.Dense(
             self.dim, use_bias=False, dtype=self.dtype, name=name
         )
+
+        if self.fused and lat_rep.ndim == 2:
+            from nsdp_tpu.ops.attention_pallas import knn_vector_attention
+
+            dw = TwoLayerMLPWeights(self.dim, name="fc_delta")(3)
+            gw = TwoLayerMLPWeights(self.dim, name="fc_gamma")(self.dim)
+            q_glob = dense("w_qs")(lat_rep)
+            k_glob = dense("w_k_global")(lat_rep)
+            v_glob = dense("w_v_global")(lat_rep)
+            qf = jnp.broadcast_to(q_glob[:, None, :], (B, nQ, self.dim))
+            res = knn_vector_attention(
+                xyz_q, xyz, qf,
+                dense("w_ks")(points), dense("w_vs")(points),
+                k_glob, v_glob, *dw, *gw,
+                min(self.nneigh, xyz.shape[1]),
+            )
+            if not self.reduce_dim:
+                res = fnn.Dense(self.dim_inp, dtype=self.dtype, name="fc")(res)
+            return res
+
         fc_delta = TwoLayerMLP(self.dim, dtype=self.dtype, name="fc_delta")
         fc_gamma = TwoLayerMLP(self.dim, dtype=self.dtype, name="fc_gamma")
 

@@ -45,11 +45,11 @@ def _mlp2(x, w0, b0, w1, b1):
 
 
 def _attn_kernel(
-    xyzq_ref, kvt_ref, kvxyz_ref, q_ref, k_ref, v_ref,
+    xyzq_ref, kvt_ref, kvxyz_ref, q_ref, k_ref, v_ref, glob_ref,
     dw0_ref, db0_ref, dw1_ref, db1_ref,
     gw0_ref, gb0_ref, gw1_ref, gb1_ref,
     out_ref,
-    *, k: int, m_valid: int, pos_only: bool,
+    *, k: int, m_valid: int, pos_only: bool, has_global: bool,
 ):
     xyzq = xyzq_ref[0]  # (T, 8)
     kvt = kvt_ref[0]  # (8, Mpad) transposed kv coords
@@ -103,18 +103,31 @@ def _attn_kernel(
         m_run, s_run = m_new, s_run * scale + e
         acc = acc * scale + e * value
 
+    if has_global:
+        # extra softmax slot: k/v projected from the global latent, zero
+        # position encoding (decoder CrossTransformerBlock semantics).
+        glob = glob_ref[0]  # (8, D): row 0 = k_glob, row 1 = v_glob
+        k_g = jnp.broadcast_to(glob[0:1, :], (T, D))
+        v_g = jnp.broadcast_to(glob[1:2, :], (T, D))
+        logits = _mlp2(q - k_g, gw0, gb0, gw1, gb1)
+        m_new = jnp.maximum(m_run, logits)
+        scale = jnp.exp(m_run - m_new)
+        e = jnp.exp(logits - m_new)
+        m_run, s_run = m_new, s_run * scale + e
+        acc = acc * scale + e * v_g
+
     out_ref[0] = acc / s_run
 
 
 def _attn_bwd_kernel(
-    xyzq_ref, kvt_ref, kvxyz_ref, q_ref, k_ref, v_ref,
+    xyzq_ref, kvt_ref, kvxyz_ref, q_ref, k_ref, v_ref, glob_ref,
     dw0_ref, db0_ref, dw1_ref, db1_ref,
     gw0_ref, gb0_ref, gw1_ref, gb1_ref,
     g_ref,
-    dxyzq_ref, dkvxyz_ref, dq_ref, dk_out_ref, dv_out_ref,
+    dxyzq_ref, dkvxyz_ref, dq_ref, dk_out_ref, dv_out_ref, dglob_ref,
     ddw0_ref, ddb0_ref, ddw1_ref, ddb1_ref,
     dgw0_ref, dgb0_ref, dgw1_ref, dgb1_ref,
-    *, k: int, m_valid: int, pos_only: bool,
+    *, k: int, m_valid: int, pos_only: bool, has_global: bool,
 ):
     """Backward of the fused attention: recompute per tile, accumulate
     gradients for kv-side tensors and weights across grid steps (the output
@@ -177,6 +190,18 @@ def _attn_bwd_kernel(
         hgs.append(hg)
         logits_all.append(logits)
 
+    if has_global:
+        glob = glob_ref[0]
+        k_g = jnp.broadcast_to(glob[0:1, :], (T, D))
+        v_g = jnp.broadcast_to(glob[1:2, :], (T, D))
+        u_g = qf - k_g
+        hg_g = jnp.maximum(
+            jnp.dot(u_g, gw0, preferred_element_type=_F32) + gb0, 0.0
+        )
+        logits_all.append(
+            jnp.dot(hg_g, gw1, preferred_element_type=_F32) + gb1
+        )
+
     # softmax over slots (per channel)
     m_max = logits_all[0]
     for l in logits_all[1:]:
@@ -194,6 +219,7 @@ def _attn_bwd_kernel(
         dkvxyz_ref[0] = jnp.zeros_like(dkvxyz_ref[0])
         dk_out_ref[0] = jnp.zeros_like(dk_out_ref[0])
         dv_out_ref[0] = jnp.zeros_like(dv_out_ref[0])
+        dglob_ref[0] = jnp.zeros_like(dglob_ref[0])
 
     @pl.when(first_all)
     def _():
@@ -216,8 +242,11 @@ def _attn_bwd_kernel(
             onehot = (lane == idxs[j]).astype(_F32)
             v_n = jnp.dot(onehot, V_a, preferred_element_type=_F32)
             vals.append(v_n + poss[j])
+    if has_global:
+        vals.append(v_g)
+    n_slots = len(vals)
     inner = attn[0] * (g * vals[0])
-    for j in range(1, k):
+    for j in range(1, n_slots):
         inner = inner + attn[j] * (g * vals[j])
 
     dxyzq_acc = jnp.zeros((T, 8), _F32)
@@ -299,6 +328,25 @@ def _attn_bwd_kernel(
             preferred_element_type=_F32,
         ) * (-1.0)
 
+    if has_global:
+        a_g = attn[k]
+        dattn_g = g * v_g
+        dlogits_g = a_g * (dattn_g - inner)
+        du_g, gw0_d, gb0_d, gw1_d, gb1_d = mlp_bwd(
+            dlogits_g, u_g, hg_g, gw0, gw1
+        )
+        dgw0_a += gw0_d
+        dgb0_a += gb0_d
+        dgw1_a += gw1_d
+        dgb1_a += gb1_d
+        dq_acc = dq_acc + du_g
+        dk_g = -jnp.sum(du_g, axis=0, keepdims=True)  # (1, D)
+        dv_g = jnp.sum(g * a_g, axis=0, keepdims=True)
+        dglob_acc = jnp.concatenate(
+            [dk_g, dv_g, jnp.zeros((6, dk_g.shape[-1]), _F32)], axis=0
+        )
+        dglob_ref[0] += dglob_acc
+
     dxyzq_ref[0] = dxyzq_acc
     if not pos_only:
         dq_ref[0] = dq_acc
@@ -329,6 +377,8 @@ def fused_vector_attention(
     k: int,
     tile: int = 256,
     interpret: bool = None,
+    k_glob: Optional[jax.Array] = None,
+    v_glob: Optional[jax.Array] = None,
 ):
     """Fused kNN vector attention (pre-residual, pre-norm).
 
@@ -339,6 +389,9 @@ def fused_vector_attention(
       K_a / V_a: (B, M, D) projected key/value features (None for pos_only).
       delta_* / gamma_*: fc_delta / fc_gamma weights.
       k: neighbours per query (includes self when xyz_q == kv_xyz).
+      k_glob / v_glob: optional (B, D) global-token key/value (an extra
+        softmax slot with zero position encoding — the decoder
+        CrossTransformerBlock pattern; requires q_feats).
 
     Returns:
       (B, Nq, D) float32.
@@ -349,6 +402,9 @@ def fused_vector_attention(
     D = delta_w1.shape[-1]
     k = min(k, M)
     pos_only = q_feats is None
+    has_global = k_glob is not None
+    if has_global and pos_only:
+        raise ValueError("global token requires query features")
 
     tile = min(tile, _round_up(Nq, 128))
     q_pad = _round_up(Nq, tile)
@@ -389,8 +445,17 @@ def fused_vector_attention(
         memory_space=pltpu.VMEM,
     )
 
+    if has_global:
+        glob = jnp.stack([k_glob, v_glob], axis=1).astype(_F32)
+        glob = jnp.pad(glob, ((0, 0), (0, 6), (0, 0)))  # (B, 8, D)
+    else:
+        glob = jnp.zeros((B, 8, feat_d), _F32)
+
     out = pl.pallas_call(
-        partial(_attn_kernel, k=k, m_valid=M, pos_only=pos_only),
+        partial(
+            _attn_kernel, k=k, m_valid=M, pos_only=pos_only,
+            has_global=has_global,
+        ),
         out_shape=jax.ShapeDtypeStruct((B, q_pad, D), _F32),
         grid=(B, n_tiles),
         in_specs=[
@@ -402,6 +467,7 @@ def fused_vector_attention(
                          memory_space=pltpu.VMEM),
             per_b((1, m_pad, feat_d)),
             per_b((1, m_pad, feat_d)),
+            per_b((1, 8, feat_d)),
             const((1, 8, D)),
             const((1, 1, D)),
             const((1, D, D)),
@@ -415,7 +481,7 @@ def fused_vector_attention(
             (1, tile, D), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(xyzq, kvt, kvxyz, qf, K_p, V_p,
+    )(xyzq, kvt, kvxyz, qf, K_p, V_p, glob,
       dw0, db0, dw1, db1, gw0, gb0, gw1, gb1)
     return out[:, :Nq]
 
@@ -429,6 +495,8 @@ def _fused_attention_bwd(
     k: int,
     tile: int = 256,
     interpret: bool = None,
+    k_glob=None,
+    v_glob=None,
 ):
     """Pallas backward pass; returns grads for every differentiable input."""
     interpret = _resolve_interpret(interpret)
@@ -437,6 +505,7 @@ def _fused_attention_bwd(
     D = delta_w1.shape[-1]
     k = min(k, M)
     pos_only = q_feats is None
+    has_global = k_glob is not None
 
     tile = min(tile, _round_up(Nq, 128))
     q_pad = _round_up(Nq, tile)
@@ -481,12 +550,19 @@ def _fused_attention_bwd(
         (1, tile, width), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
     )
 
+    if has_global:
+        glob = jnp.stack([k_glob, v_glob], axis=1).astype(_F32)
+        glob = jnp.pad(glob, ((0, 0), (0, 6), (0, 0)))
+    else:
+        glob = jnp.zeros((B, 8, feat_d), _F32)
+
     out_shapes = (
         jax.ShapeDtypeStruct((B, q_pad, 8), _F32),        # dxyzq
         jax.ShapeDtypeStruct((B, m_pad, 8), _F32),        # dkvxyz
         jax.ShapeDtypeStruct((B, q_pad, feat_d), _F32),   # dq
         jax.ShapeDtypeStruct((B, m_pad, feat_d), _F32),   # dK
         jax.ShapeDtypeStruct((B, m_pad, feat_d), _F32),   # dV
+        jax.ShapeDtypeStruct((B, 8, feat_d), _F32),       # dglob
         jax.ShapeDtypeStruct((1, 8, D), _F32),            # ddw0
         jax.ShapeDtypeStruct((1, 1, D), _F32),            # ddb0
         jax.ShapeDtypeStruct((1, D, D), _F32),            # ddw1
@@ -502,6 +578,7 @@ def _fused_attention_bwd(
         per_tile(feat_d),
         per_b((1, m_pad, feat_d)),
         per_b((1, m_pad, feat_d)),
+        per_b((1, 8, feat_d)),
         const((1, 8, D)),
         const((1, 1, D)),
         const((1, D, D)),
@@ -513,7 +590,8 @@ def _fused_attention_bwd(
     )
 
     outs = pl.pallas_call(
-        partial(_attn_bwd_kernel, k=k, m_valid=M, pos_only=pos_only),
+        partial(_attn_bwd_kernel, k=k, m_valid=M, pos_only=pos_only,
+                has_global=has_global),
         out_shape=out_shapes,
         grid=(B, n_tiles),
         in_specs=[
@@ -523,6 +601,7 @@ def _fused_attention_bwd(
             per_tile(feat_d),
             per_b((1, m_pad, feat_d)),
             per_b((1, m_pad, feat_d)),
+            per_b((1, 8, feat_d)),
             const((1, 8, D)),
             const((1, 1, D)),
             const((1, D, D)),
@@ -535,10 +614,10 @@ def _fused_attention_bwd(
         ],
         out_specs=out_specs,
         interpret=interpret,
-    )(xyzq, kvt, kvxyz, qf, K_p, V_p,
+    )(xyzq, kvt, kvxyz, qf, K_p, V_p, glob,
       dw0, db0, dw1, db1, gw0, gb0, gw1, gb1, g_p)
 
-    (dxyzq, dkvxyz, dq, dK, dV,
+    (dxyzq, dkvxyz, dq, dK, dV, dglob,
      ddw0, ddb0, ddw1, ddb1, dgw0, dgb0, dgw1, dgb1) = outs
 
     in_dim = delta_w0.shape[0]
@@ -550,31 +629,35 @@ def _fused_attention_bwd(
         None if pos_only else dV[:, :M],
         ddw0[0, :in_dim], ddb0[0, 0], ddw1[0], ddb1[0, 0],
         dgw0[0], dgb0[0, 0], dgw1[0], dgb1[0, 0],
+        dglob[:, 0] if has_global else None,
+        dglob[:, 1] if has_global else None,
     )
     return grads
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15))
+@partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17))
 def knn_vector_attention(
-    xyz_q, kv_xyz, q_feats, K_a, V_a,
+    xyz_q, kv_xyz, q_feats, K_a, V_a, k_glob, v_glob,
     delta_w0, delta_b0, delta_w1, delta_b1,
     gamma_w0, gamma_b0, gamma_w1, gamma_b1,
     k: int, tile: int = 256, interpret: bool = None,
 ):
     """Differentiable fused kNN vector attention (custom VJP, both passes in
-    Pallas).  Same semantics as :func:`fused_vector_attention`; gradients
-    match the gather-based XLA formulation (kNN indices are constants, as in
-    the reference's ``no_grad`` neighbourhood search)."""
+    Pallas).  Same semantics as :func:`fused_vector_attention` (optionally
+    with the global-token extra slot when ``k_glob``/``v_glob`` are given);
+    gradients match the gather-based XLA formulation (kNN indices are
+    constants, as in the reference's ``no_grad`` neighbourhood search)."""
     return fused_vector_attention(
         xyz_q, kv_xyz, q_feats, K_a, V_a,
         delta_w0, delta_b0, delta_w1, delta_b1,
         gamma_w0, gamma_b0, gamma_w1, gamma_b1,
         k=k, tile=tile, interpret=interpret,
+        k_glob=k_glob, v_glob=v_glob,
     )
 
 
 def _kva_fwd(
-    xyz_q, kv_xyz, q_feats, K_a, V_a,
+    xyz_q, kv_xyz, q_feats, K_a, V_a, k_glob, v_glob,
     delta_w0, delta_b0, delta_w1, delta_b1,
     gamma_w0, gamma_b0, gamma_w1, gamma_b1,
     k, tile, interpret,
@@ -584,9 +667,10 @@ def _kva_fwd(
         delta_w0, delta_b0, delta_w1, delta_b1,
         gamma_w0, gamma_b0, gamma_w1, gamma_b1,
         k=k, tile=tile, interpret=interpret,
+        k_glob=k_glob, v_glob=v_glob,
     )
     residuals = (
-        xyz_q, kv_xyz, q_feats, K_a, V_a,
+        xyz_q, kv_xyz, q_feats, K_a, V_a, k_glob, v_glob,
         delta_w0, delta_b0, delta_w1, delta_b1,
         gamma_w0, gamma_b0, gamma_w1, gamma_b1,
     )
@@ -594,7 +678,7 @@ def _kva_fwd(
 
 
 def _kva_bwd(k, tile, interpret, residuals, g):
-    (xyz_q, kv_xyz, q_feats, K_a, V_a,
+    (xyz_q, kv_xyz, q_feats, K_a, V_a, k_glob, v_glob,
      delta_w0, delta_b0, delta_w1, delta_b1,
      gamma_w0, gamma_b0, gamma_w1, gamma_b1) = residuals
     grads = _fused_attention_bwd(
@@ -602,10 +686,15 @@ def _kva_bwd(k, tile, interpret, residuals, g):
         delta_w0, delta_b0, delta_w1, delta_b1,
         gamma_w0, gamma_b0, gamma_w1, gamma_b1,
         g, k=k, tile=tile, interpret=interpret,
+        k_glob=k_glob, v_glob=v_glob,
     )
-    if q_feats is None:
-        grads = (grads[0], grads[1], None, None, None) + grads[5:]
-    return grads
+    (dxyzq, dkvxyz, dq, dK, dV,
+     ddw0, ddb0, ddw1, ddb1, dgw0, dgb0, dgw1, dgb1,
+     dk_glob, dv_glob) = grads
+    return (
+        dxyzq, dkvxyz, dq, dK, dV, dk_glob, dv_glob,
+        ddw0, ddb0, ddw1, ddb1, dgw0, dgb0, dgw1, dgb1,
+    )
 
 
 knn_vector_attention.defvjp(_kva_fwd, _kva_bwd)

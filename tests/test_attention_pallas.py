@@ -113,7 +113,7 @@ class TestCustomVJP:
 
         def loss(xyz, kv, qf, K, V, *w):
             out = knn_vector_attention(
-                xyz, kv, qf, K, V, *w, k, 128, True
+                xyz, kv, qf, K, V, None, None, *w, k, 128, True
             )
             return jnp.sum(out * out)
 
@@ -162,6 +162,84 @@ class TestCustomVJP:
         w = _weights(rng, d)
         ref = self._grads_ref((centres, kv, qf, K, V), w, k, False)
         got = self._grads_fused((centres, kv, qf, K, V), w, k, False)
+        for i, (r, g) in enumerate(zip(ref, got)):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(r), rtol=1e-3, atol=1e-4,
+                err_msg=f"grad {i}",
+            )
+
+
+class TestGlobalToken:
+    def _ref_global(self, xyz_q, kv, qf, K, V, k_g, v_g, w, k):
+        dw0, db0, dw1, db1, gw0, gb0, gw1, gb1 = w
+        idx = knn_xla(xyz_q, kv, k)
+        pos = _mlp2(
+            xyz_q[:, :, None, :] - index_points(kv, idx), dw0, db0, dw1, db1
+        )
+        zeros = jnp.zeros(pos.shape[:2] + (1, pos.shape[-1]))
+        pos_all = jnp.concatenate([pos, zeros], axis=2)
+        k_all = jnp.concatenate(
+            [index_points(K, idx),
+             jnp.broadcast_to(k_g[:, None, None, :], zeros.shape[:3] + (K.shape[-1],))],
+            axis=2,
+        )
+        v_all = jnp.concatenate(
+            [index_points(V, idx),
+             jnp.broadcast_to(v_g[:, None, None, :], zeros.shape[:3] + (V.shape[-1],))],
+            axis=2,
+        )
+        logits = _mlp2(
+            qf[:, :, None, :] - k_all + pos_all, gw0, gb0, gw1, gb1
+        )
+        attn = jax.nn.softmax(logits, axis=-2)
+        return jnp.sum(attn * (v_all + pos_all), axis=-2)
+
+    def test_forward_with_global(self, rng):
+        from nsdp_tpu.ops.attention_pallas import fused_vector_attention
+
+        B, N, A, d, k = 2, 60, 20, 10, 5
+        xyz_q = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+        kv = jnp.asarray(rng.randn(B, A, 3).astype(np.float32))
+        qf = jnp.asarray(rng.randn(B, N, d).astype(np.float32))
+        K = jnp.asarray(rng.randn(B, A, d).astype(np.float32))
+        V = jnp.asarray(rng.randn(B, A, d).astype(np.float32))
+        k_g = jnp.asarray(rng.randn(B, d).astype(np.float32))
+        v_g = jnp.asarray(rng.randn(B, d).astype(np.float32))
+        w = _weights(rng, d)
+        ref = self._ref_global(xyz_q, kv, qf, K, V, k_g, v_g, w, k)
+        got = fused_vector_attention(
+            xyz_q, kv, qf, K, V, *w, k=k, tile=128, interpret=True,
+            k_glob=k_g, v_glob=v_g,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5
+        )
+
+    def test_grads_with_global(self, rng):
+        from nsdp_tpu.ops.attention_pallas import knn_vector_attention
+
+        B, N, A, d, k = 1, 50, 16, 8, 4
+        xyz_q = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+        kv = jnp.asarray(rng.randn(B, A, 3).astype(np.float32))
+        qf = jnp.asarray(rng.randn(B, N, d).astype(np.float32))
+        K = jnp.asarray(rng.randn(B, A, d).astype(np.float32))
+        V = jnp.asarray(rng.randn(B, A, d).astype(np.float32))
+        k_g = jnp.asarray(rng.randn(B, d).astype(np.float32))
+        v_g = jnp.asarray(rng.randn(B, d).astype(np.float32))
+        w = _weights(rng, d)
+
+        def loss_ref(*args):
+            return jnp.sum(self._ref_global(*args[:7], args[7:], k) ** 2)
+
+        def loss_fused(*args):
+            out = knn_vector_attention(
+                *args[:7], *args[7:], k, 128, True
+            )
+            return jnp.sum(out**2)
+
+        argnums = tuple(range(7 + 8))
+        ref = jax.grad(loss_ref, argnums)(xyz_q, kv, qf, K, V, k_g, v_g, *w)
+        got = jax.grad(loss_fused, argnums)(xyz_q, kv, qf, K, V, k_g, v_g, *w)
         for i, (r, g) in enumerate(zip(ref, got)):
             np.testing.assert_allclose(
                 np.asarray(g), np.asarray(r), rtol=1e-3, atol=1e-4,
