@@ -49,6 +49,7 @@ def _attn_kernel(
     dw0_ref, db0_ref, dw1_ref, db1_ref,
     gw0_ref, gb0_ref, gw1_ref, gb1_ref,
     out_ref,
+    idx_ref=None,
     *, k: int, m_valid: int, pos_only: bool, has_global: bool,
 ):
     xyzq = xyzq_ref[0]  # (T, 8)
@@ -79,12 +80,14 @@ def _attn_kernel(
     s_run = jnp.zeros((T, D), _F32)
     acc = jnp.zeros((T, D), _F32)
     big = jnp.int32(M)
+    idx_cols = []
 
     for _ in range(k):
         m = jnp.min(d2, axis=-1, keepdims=True)
         idx = jnp.min(jnp.where(d2 == m, lane, big), axis=-1, keepdims=True)
         d2 = jnp.where(lane == idx, jnp.inf, d2)
         onehot = (lane == idx).astype(_F32)
+        idx_cols.append(idx)
 
         xyz_n = jnp.dot(onehot, kvxyz, preferred_element_type=_F32)
         pos = _mlp2(xyzq - xyz_n, dw0, db0, dw1, db1)  # (T, D)
@@ -117,32 +120,39 @@ def _attn_kernel(
         acc = acc * scale + e * v_g
 
     out_ref[0] = acc / s_run
+    if idx_ref is not None:
+        idx_mat = jnp.concatenate(idx_cols, axis=-1)  # (T, k)
+        kpad = idx_ref.shape[-1]
+        idx_ref[0] = jnp.pad(idx_mat, ((0, 0), (0, kpad - k)))
 
 
 def _attn_bwd_kernel(
-    xyzq_ref, kvt_ref, kvxyz_ref, q_ref, k_ref, v_ref, glob_ref,
+    xyzq_ref, kvxyz_ref, q_ref, k_ref, v_ref, glob_ref,
     dw0_ref, db0_ref, dw1_ref, db1_ref,
     gw0_ref, gb0_ref, gw1_ref, gb1_ref,
-    g_ref,
+    g_ref, idx_in_ref,
     dxyzq_ref, dkvxyz_ref, dq_ref, dk_out_ref, dv_out_ref, dglob_ref,
     ddw0_ref, ddb0_ref, ddw1_ref, ddb1_ref,
     dgw0_ref, dgb0_ref, dgw1_ref, dgb1_ref,
     *, k: int, m_valid: int, pos_only: bool, has_global: bool,
 ):
-    """Backward of the fused attention: recompute per tile, accumulate
-    gradients for kv-side tensors and weights across grid steps (the output
-    windows revisit, Mosaic keeps them resident)."""
+    """Backward of the fused attention.
+
+    Consumes the kNN indices saved by the forward pass (no distance-matrix
+    recompute; the O(T*M) one-hot exists once per slot).  Per-tile query
+    gradients write directly; kv-side and weight gradients accumulate across
+    grid steps (their output windows revisit, Mosaic keeps them resident)."""
     b = pl.program_id(0)
     t = pl.program_id(1)
     first_tile = t == 0
     first_all = (b == 0) & (t == 0)
 
     xyzq = xyzq_ref[0]
-    kvt = kvt_ref[0]
     kvxyz = kvxyz_ref[0]
     g = g_ref[0]  # (T, D)
+    idx_in = idx_in_ref[0]  # (T, kpad) int32
     T = xyzq.shape[0]
-    M = kvt.shape[-1]
+    M = kvxyz.shape[0]
 
     dw0, db0 = dw0_ref[0], db0_ref[0]
     dw1, db1 = dw1_ref[0], db1_ref[0]
@@ -156,19 +166,11 @@ def _attn_bwd_kernel(
         V_a = v_ref[0]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (T, M), 1)
-    d2 = jnp.zeros((T, M), _F32)
-    for c in range(3):
-        diff = xyzq[:, c : c + 1] - kvt[c, :].reshape(1, M)
-        d2 = d2 + diff * diff
-    d2 = jnp.where(lane < m_valid, d2, jnp.inf)
 
     # ---- pass 1: recompute per-slot intermediates -------------------------
-    big = jnp.int32(M)
     idxs, dxs, hds, poss, us, hgs, logits_all = [], [], [], [], [], [], []
-    for _ in range(k):
-        mval = jnp.min(d2, axis=-1, keepdims=True)
-        idx = jnp.min(jnp.where(d2 == mval, lane, big), axis=-1, keepdims=True)
-        d2 = jnp.where(lane == idx, jnp.inf, d2)
+    for j in range(k):
+        idx = idx_in[:, j : j + 1]
         onehot = (lane == idx).astype(_F32)
 
         xyz_n = jnp.dot(onehot, kvxyz, preferred_element_type=_F32)
@@ -365,7 +367,7 @@ def _attn_bwd_kernel(
     dgb1_ref[0] += dgb1_a
 
 
-@partial(jax.jit, static_argnames=("k", "tile", "interpret"))
+@partial(jax.jit, static_argnames=("k", "tile", "interpret", "return_idx"))
 def fused_vector_attention(
     xyz_q,
     kv_xyz,
@@ -379,6 +381,7 @@ def fused_vector_attention(
     interpret: bool = None,
     k_glob: Optional[jax.Array] = None,
     v_glob: Optional[jax.Array] = None,
+    return_idx: bool = False,
 ):
     """Fused kNN vector attention (pre-residual, pre-norm).
 
@@ -451,12 +454,23 @@ def fused_vector_attention(
     else:
         glob = jnp.zeros((B, 8, feat_d), _F32)
 
+    out_shape = [jax.ShapeDtypeStruct((B, q_pad, D), _F32)]
+    out_spec = [pl.BlockSpec(
+        (1, tile, D), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
+    )]
+    if return_idx:
+        kpad = _round_up(k, 128)
+        out_shape.append(jax.ShapeDtypeStruct((B, q_pad, kpad), jnp.int32))
+        out_spec.append(pl.BlockSpec(
+            (1, tile, kpad), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
+        ))
+
     out = pl.pallas_call(
         partial(
             _attn_kernel, k=k, m_valid=M, pos_only=pos_only,
             has_global=has_global,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, q_pad, D), _F32),
+        out_shape=tuple(out_shape) if return_idx else out_shape[0],
         grid=(B, n_tiles),
         in_specs=[
             pl.BlockSpec((1, tile, 8), lambda b, t: (b, t, 0),
@@ -477,12 +491,15 @@ def fused_vector_attention(
             const((1, D, D)),
             const((1, 1, D)),
         ],
-        out_specs=pl.BlockSpec(
-            (1, tile, D), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
+        out_specs=tuple(out_spec) if return_idx else out_spec[0],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
     )(xyzq, kvt, kvxyz, qf, K_p, V_p, glob,
       dw0, db0, dw1, db1, gw0, gb0, gw1, gb1)
+    if return_idx:
+        return out[0][:, :Nq], out[1]
     return out[:, :Nq]
 
 
@@ -491,9 +508,9 @@ def _fused_attention_bwd(
     xyz_q, kv_xyz, q_feats, K_a, V_a,
     delta_w0, delta_b0, delta_w1, delta_b1,
     gamma_w0, gamma_b0, gamma_w1, gamma_b1,
-    g,
+    g, idx,
     k: int,
-    tile: int = 256,
+    tile: int = 128,
     interpret: bool = None,
     k_glob=None,
     v_glob=None,
@@ -513,12 +530,11 @@ def _fused_attention_bwd(
     n_tiles = q_pad // tile
 
     xyzq = jnp.pad(xyz_q.astype(_F32), ((0, 0), (0, q_pad - Nq), (0, 5)))
-    kvt = jnp.pad(
-        jnp.swapaxes(kv_xyz.astype(_F32), 1, 2),
-        ((0, 0), (0, 5), (0, m_pad - M)),
-    )
     kvxyz = jnp.pad(kv_xyz.astype(_F32), ((0, 0), (0, m_pad - M), (0, 5)))
     g_p = jnp.pad(g.astype(_F32), ((0, 0), (0, q_pad - Nq), (0, 0)))
+    kpad = idx.shape[-1]
+    if idx.shape[1] != q_pad:  # forward may have used a different tile size
+        idx = jnp.pad(idx, ((0, 0), (0, q_pad - idx.shape[1]), (0, 0)))
     if pos_only:
         qf = jnp.zeros((B, q_pad, 1), _F32)
         K_p = jnp.zeros((B, m_pad, 1), _F32)
@@ -596,7 +612,6 @@ def _fused_attention_bwd(
         grid=(B, n_tiles),
         in_specs=[
             per_tile(8),
-            per_b((1, 8, m_pad)),
             per_b((1, m_pad, 8)),
             per_tile(feat_d),
             per_b((1, m_pad, feat_d)),
@@ -611,11 +626,15 @@ def _fused_attention_bwd(
             const((1, D, D)),
             const((1, 1, D)),
             per_tile(D),
+            per_tile(kpad),
         ],
         out_specs=out_specs,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
-    )(xyzq, kvt, kvxyz, qf, K_p, V_p, glob,
-      dw0, db0, dw1, db1, gw0, gb0, gw1, gb1, g_p)
+    )(xyzq, kvxyz, qf, K_p, V_p, glob,
+      dw0, db0, dw1, db1, gw0, gb0, gw1, gb1, g_p, idx)
 
     (dxyzq, dkvxyz, dq, dK, dV, dglob,
      ddw0, ddb0, ddw1, ddb1, dgw0, dgb0, dgw1, dgb1) = outs
@@ -640,7 +659,7 @@ def knn_vector_attention(
     xyz_q, kv_xyz, q_feats, K_a, V_a, k_glob, v_glob,
     delta_w0, delta_b0, delta_w1, delta_b1,
     gamma_w0, gamma_b0, gamma_w1, gamma_b1,
-    k: int, tile: int = 256, interpret: bool = None,
+    k: int, tile: int = 128, interpret: bool = None,
 ):
     """Differentiable fused kNN vector attention (custom VJP, both passes in
     Pallas).  Same semantics as :func:`fused_vector_attention` (optionally
@@ -662,17 +681,17 @@ def _kva_fwd(
     gamma_w0, gamma_b0, gamma_w1, gamma_b1,
     k, tile, interpret,
 ):
-    out = fused_vector_attention(
+    out, idx = fused_vector_attention(
         xyz_q, kv_xyz, q_feats, K_a, V_a,
         delta_w0, delta_b0, delta_w1, delta_b1,
         gamma_w0, gamma_b0, gamma_w1, gamma_b1,
         k=k, tile=tile, interpret=interpret,
-        k_glob=k_glob, v_glob=v_glob,
+        k_glob=k_glob, v_glob=v_glob, return_idx=True,
     )
     residuals = (
         xyz_q, kv_xyz, q_feats, K_a, V_a, k_glob, v_glob,
         delta_w0, delta_b0, delta_w1, delta_b1,
-        gamma_w0, gamma_b0, gamma_w1, gamma_b1,
+        gamma_w0, gamma_b0, gamma_w1, gamma_b1, idx,
     )
     return out, residuals
 
@@ -680,12 +699,12 @@ def _kva_fwd(
 def _kva_bwd(k, tile, interpret, residuals, g):
     (xyz_q, kv_xyz, q_feats, K_a, V_a, k_glob, v_glob,
      delta_w0, delta_b0, delta_w1, delta_b1,
-     gamma_w0, gamma_b0, gamma_w1, gamma_b1) = residuals
+     gamma_w0, gamma_b0, gamma_w1, gamma_b1, idx) = residuals
     grads = _fused_attention_bwd(
         xyz_q, kv_xyz, q_feats, K_a, V_a,
         delta_w0, delta_b0, delta_w1, delta_b1,
         gamma_w0, gamma_b0, gamma_w1, gamma_b1,
-        g, k=k, tile=tile, interpret=interpret,
+        g, idx, k=k, tile=tile, interpret=interpret,
         k_glob=k_glob, v_glob=v_glob,
     )
     (dxyzq, dkvxyz, dq, dK, dV,
