@@ -4,205 +4,50 @@ The XLA decoder materialises (B, Q, k+1, dim) neighbourhood tensors in HBM —
 at Q=65k and dim=200 that is ~0.4 GB per intermediate and the decode is
 bandwidth-bound.  This module provides:
 
-* :func:`fused_cross_attention` — a Pallas TPU kernel computing, per query
-  tile entirely in VMEM: the kNN over the anchors, one-hot MXU gathers of
-  anchor keys/values/positions, the position-encoding and attention MLPs,
-  the per-channel softmax over neighbours+global token, and the weighted
-  sum.  Only (T, dim) tensors ever exist; nothing per-neighbour touches HBM.
+* :func:`fused_cross_attention` — the CrossTransformerBlock core on the
+  generic global-token Pallas kernel: per query tile entirely in VMEM, the
+  kNN over the anchors, one-hot MXU gathers, the position-encoding and
+  attention MLPs, and the per-channel softmax over neighbours + global
+  token.  Only (T, dim) tensors ever exist; nothing per-neighbour touches
+  HBM.
 * :func:`decode_fast` — the full CrossTransformerDecoder forward
   (fused attention + conditioned ResNet-FC stack) as a function of the raw
   flax parameter subtree, numerically equivalent to
   ``CrossTransformerDecoder.apply`` for 2-D global latents.
 
-Used by the inference/serving path (``nsdp_tpu.models.fast_predict``); the
-flax module remains the training path (the kernel has no custom VJP yet).
+Used by the inference/serving path (``nsdp_tpu.models.fast_predict``).
 """
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
-
-_F32 = jnp.float32
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
-def _mlp2(x, w0, b0, w1, b1):
-    h = jnp.maximum(
-        jnp.dot(x, w0, preferred_element_type=_F32) + b0, 0.0
-    )
-    return jnp.dot(h, w1, preferred_element_type=_F32) + b1
-
-
-def _fused_ct_kernel(
-    xyzq_ref, anct_ref, anc_ref, ka_ref, va_ref, glob_ref,
-    dw0_ref, db0_ref, dw1_ref, db1_ref,
-    gw0_ref, gb0_ref, gw1_ref, gb1_ref,
-    out_ref,
-    *, k: int, a_valid: int,
-):
-    xyzq = xyzq_ref[0]  # (T, 3pad) rows: query coords
-    anct = anct_ref[0]  # (8, Apad) transposed anchor coords
-    anc = anc_ref[0]  # (Apad, 3pad)
-    K_a = ka_ref[0]  # (Apad, D)
-    V_a = va_ref[0]  # (Apad, D)
-    glob = glob_ref[0]  # (8, D): rows 0=q_glob, 1=k_glob, 2=v_glob
-    T = xyzq.shape[0]
-    A = anct.shape[-1]
-    D = K_a.shape[-1]
-
-    dw0, db0 = dw0_ref[0], db0_ref[0]
-    dw1, db1 = dw1_ref[0], db1_ref[0]
-    gw0, gb0 = gw0_ref[0], gb0_ref[0]
-    gw1, gb1 = gw1_ref[0], gb1_ref[0]
-
-    lane = jax.lax.broadcasted_iota(jnp.int32, (T, A), 1)
-
-    # squared distances to anchors, exact f32, coordinate-wise
-    d2 = jnp.zeros((T, A), _F32)
-    for c in range(3):
-        diff = xyzq[:, c : c + 1] - anct[c, :].reshape(1, A)
-        d2 = d2 + diff * diff
-    d2 = jnp.where(lane < a_valid, d2, jnp.inf)
-
-    q = jnp.broadcast_to(glob[0:1, :], (T, D))  # global latent query
-
-    # running streaming-softmax state over the k anchor slots + global token
-    m_run = jnp.full((T, D), -jnp.inf, _F32)
-    s_run = jnp.zeros((T, D), _F32)
-    acc = jnp.zeros((T, D), _F32)
-
-    def absorb(logits, value, m_run, s_run, acc):
-        m_new = jnp.maximum(m_run, logits)
-        scale = jnp.exp(m_run - m_new)
-        e = jnp.exp(logits - m_new)
-        return m_new, s_run * scale + e, acc * scale + e * value
-
-    big = jnp.int32(A)
-    for _ in range(k):
-        m = jnp.min(d2, axis=-1, keepdims=True)
-        idx = jnp.min(jnp.where(d2 == m, lane, big), axis=-1, keepdims=True)
-        d2 = jnp.where(lane == idx, jnp.inf, d2)
-        onehot = (lane == idx).astype(_F32)  # (T, A)
-
-        xyz_n = jnp.dot(onehot, anc, preferred_element_type=_F32)  # (T, 3pad)
-        k_n = jnp.dot(onehot, K_a, preferred_element_type=_F32)  # (T, D)
-        v_n = jnp.dot(onehot, V_a, preferred_element_type=_F32)
-
-        pos = _mlp2(xyzq - xyz_n, dw0, db0, dw1, db1)  # (T, D)
-        logits = _mlp2(q - k_n + pos, gw0, gb0, gw1, gb1)
-        m_run, s_run, acc = absorb(logits, v_n + pos, m_run, s_run, acc)
-
-    # global token: zero position encoding
-    k_g = jnp.broadcast_to(glob[1:2, :], (T, D))
-    v_g = jnp.broadcast_to(glob[2:3, :], (T, D))
-    logits_g = _mlp2(q - k_g, gw0, gb0, gw1, gb1)
-    m_run, s_run, acc = absorb(logits_g, v_g, m_run, s_run, acc)
-
-    out_ref[0] = acc / s_run
-
-
-@partial(jax.jit, static_argnames=("k", "tile", "interpret"))
 def fused_cross_attention(
     xyz_q, q_glob, k_glob, v_glob, anchors, K_a, V_a,
     delta_w0, delta_b0, delta_w1, delta_b1,
     gamma_w0, gamma_b0, gamma_w1, gamma_b1,
     k: int = 7,
     tile: int = 256,
-    interpret: bool = False,
+    interpret: bool = None,
 ):
-    """Fused CrossTransformerBlock core.
+    """Fused CrossTransformerBlock core (global-latent query + k nearest
+    anchors + global token slot).
 
-    Args:
-      xyz_q: (B, Q, 3) query positions.
-      q_glob/k_glob/v_glob: (B, D) projected global latent (w_qs/w_k_global/
-        w_v_global applied outside; they are D x dim_inp, O(1) work).
-      anchors: (B, A, 3); K_a/V_a: (B, A, D) projected anchor keys/values.
-      delta_*/gamma_*: fc_delta / fc_gamma weights (w: (in, D), b: (D,)).
-      k: anchor neighbours per query.
-
-    Returns:
-      (B, Q, D) attention output (pre init_enc).
+    Thin wrapper over the generic global-token kernel
+    (:func:`nsdp_tpu.ops.attention_pallas.fused_vector_attention`): the
+    query features are the broadcast global-latent projection.
     """
+    from nsdp_tpu.ops.attention_pallas import fused_vector_attention
+
     B, Q, _ = xyz_q.shape
-    A = anchors.shape[1]
-    D = K_a.shape[-1]
-    k = min(k, A)
-
-    tile = min(tile, _round_up(Q, 128))
-    q_pad = _round_up(Q, tile)
-    a_pad = _round_up(A, 128)
-    n_tiles = q_pad // tile
-
-    xyzq = jnp.pad(
-        xyz_q.astype(_F32), ((0, 0), (0, q_pad - Q), (0, 5))
-    )  # (B, Qpad, 8)
-    anct = jnp.pad(
-        jnp.swapaxes(anchors.astype(_F32), 1, 2),
-        ((0, 0), (0, 5), (0, a_pad - A)),
-    )  # (B, 8, Apad)
-    anc = jnp.pad(anchors.astype(_F32), ((0, 0), (0, a_pad - A), (0, 5)))
-    K_ap = jnp.pad(K_a.astype(_F32), ((0, 0), (0, a_pad - A), (0, 0)))
-    V_ap = jnp.pad(V_a.astype(_F32), ((0, 0), (0, a_pad - A), (0, 0)))
-    glob = jnp.stack([q_glob, k_glob, v_glob], axis=1).astype(_F32)
-    glob = jnp.pad(glob, ((0, 0), (0, 5), (0, 0)))  # (B, 8, D)
-
-    def wpad(w, in_dim):
-        w = w.astype(_F32)
-        return jnp.pad(w, ((0, in_dim - w.shape[0]), (0, 0)))[None]
-
-    dw0 = wpad(delta_w0, 8)  # (1, 8, D): padded 3->8 input
-    dw1 = delta_w1.astype(_F32)[None]
-    gw0 = gamma_w0.astype(_F32)[None]
-    gw1 = gamma_w1.astype(_F32)[None]
-    db0 = delta_b0.astype(_F32)[None, None]
-    db1 = delta_b1.astype(_F32)[None, None]
-    gb0 = gamma_b0.astype(_F32)[None, None]
-    gb1 = gamma_b1.astype(_F32)[None, None]
-
-    # xyzq padded to 8 coords must multiply dw0 padded to 8 rows: zero rows
-    # contribute nothing.
-    const = lambda shape: pl.BlockSpec(
-        shape, lambda b, t: (0,) * len(shape), memory_space=pltpu.VMEM
+    qf = jnp.broadcast_to(q_glob[:, None, :], (B, Q, q_glob.shape[-1]))
+    return fused_vector_attention(
+        xyz_q, anchors, qf, K_a, V_a,
+        delta_w0, delta_b0, delta_w1, delta_b1,
+        gamma_w0, gamma_b0, gamma_w1, gamma_b1,
+        k=k, tile=tile, interpret=interpret,
+        k_glob=k_glob, v_glob=v_glob,
     )
-    per_b = lambda shape: pl.BlockSpec(
-        shape, lambda b, t: (b,) + (0,) * (len(shape) - 1),
-        memory_space=pltpu.VMEM,
-    )
-
-    out = pl.pallas_call(
-        partial(_fused_ct_kernel, k=k, a_valid=A),
-        out_shape=jax.ShapeDtypeStruct((B, q_pad, D), _F32),
-        grid=(B, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, tile, 8), lambda b, t: (b, t, 0),
-                         memory_space=pltpu.VMEM),
-            per_b((1, 8, a_pad)),
-            per_b((1, a_pad, 8)),
-            per_b((1, a_pad, D)),
-            per_b((1, a_pad, D)),
-            per_b((1, 8, D)),
-            const((1, 8, D)),
-            const((1, 1, D)),
-            const((1, D, D)),
-            const((1, 1, D)),
-            const((1, D, D)),
-            const((1, 1, D)),
-            const((1, D, D)),
-            const((1, 1, D)),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, tile, D), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
-        ),
-        interpret=interpret,
-    )(xyzq, anct, anc, K_ap, V_ap, glob,
-      dw0, db0, dw1, db1, gw0, gb0, gw1, gb1)
-    return out[:, :Q]
 
 
 # ---------------------------------------------------------------------------
@@ -219,7 +64,7 @@ def decode_fast(
     encoding,
     nneigh: int = 7,
     tile: int = 256,
-    interpret: bool = False,
+    interpret: bool = None,
 ):
     """CrossTransformerDecoder forward with the fused attention kernel.
 
@@ -243,13 +88,18 @@ def decode_fast(
     K_a = feats @ ct["w_ks"]["kernel"]
     V_a = feats @ ct["w_vs"]["kernel"]
 
-    lat = fused_cross_attention(
-        xyz_q, q_glob, k_glob, v_glob, anchors, K_a, V_a,
+    from nsdp_tpu.ops.attention_pallas import fused_vector_attention
+
+    B, Q, _ = xyz_q.shape
+    qf = jnp.broadcast_to(q_glob[:, None, :], (B, Q, q_glob.shape[-1]))
+    lat = fused_vector_attention(
+        xyz_q, anchors, qf, K_a, V_a,
         ct["fc_delta"]["fc0"]["kernel"], ct["fc_delta"]["fc0"]["bias"],
         ct["fc_delta"]["fc1"]["kernel"], ct["fc_delta"]["fc1"]["bias"],
         ct["fc_gamma"]["fc0"]["kernel"], ct["fc_gamma"]["fc0"]["bias"],
         ct["fc_gamma"]["fc1"]["kernel"], ct["fc_gamma"]["fc1"]["bias"],
         k=nneigh, tile=tile, interpret=interpret,
+        k_glob=k_glob, v_glob=v_glob,
     )
 
     net = _dense(params["init_enc"], lat)
