@@ -42,9 +42,10 @@ def main():
         inputs[..., 3:6],
         inputs[..., 6:7],
     )
-    variables = model.init(
-        jax.random.PRNGKey(0), space[:, :128], surf_src, surf_tgt, mask,
-        train=False,
+    from functools import partial
+
+    variables = jax.jit(partial(model.init, train=False))(
+        jax.random.PRNGKey(0), space[:, :128], surf_src, surf_tgt, mask
     )
 
     from nsdp_tpu.models.fast_predict import make_fast_predict

@@ -1,5 +1,6 @@
 """Train state: a pytree bundling params, BN stats and optimizer state."""
 
+from functools import partial
 from typing import Any
 
 import jax
@@ -27,7 +28,11 @@ def create_train_state(model, rng, example_inputs, tx) -> TrainState:
       example_inputs: tuple of positional inputs for ``model.init``.
       tx: optax gradient transformation (LR-less; see ``optim``).
     """
-    variables = model.init(rng, *example_inputs, train=False)
+    # jit the init: eager initialisation dispatches thousands of tiny ops,
+    # which is pathological over remote-device transports.
+    variables = jax.jit(partial(model.init, train=False))(
+        rng, *example_inputs
+    )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
     return TrainState(
