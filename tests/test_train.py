@@ -133,3 +133,22 @@ def test_lr_schedule():
     assert s.get_learning_rate(199) == 1e-3
     assert abs(s.get_learning_rate(200) - 1e-4) < 1e-12
     assert abs(s.get_learning_rate(401) - 1e-5) < 1e-12
+
+
+def test_test_on_batch_semantics(fixture):
+    """Library equivalent of the reference test_on_batch_* closures."""
+    from nsdp_tpu.training.steps import test_on_batch
+
+    cfg, model, loader, schedule, state, steps = _setup(fixture, "forward")
+    ds_cfg = synthetic_config(fixture, model_type="forward")
+    from nsdp_tpu.data.datasets import Deform4DFlowDataset
+
+    ds = Deform4DFlowDataset(
+        ds_cfg, "identity_seen", "test_unseen_motions", load_mesh=True,
+        rng=np.random.RandomState(0),
+    )
+    batch = ds.collate_fn([ds[0]])
+    loss, out = test_on_batch(steps, state, dict(batch), compute_loss=True)
+    assert np.isfinite(loss)
+    assert out["surface_samples_tgt_pred"].shape == batch["surface_samples_src"].shape
+    assert out["verts_tgt_pred"].shape == batch["verts_src"].shape
