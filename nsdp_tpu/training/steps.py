@@ -33,13 +33,17 @@ def _split_inputs(surface_samples_inputs):
     )
 
 
-def make_steps(model, model_type: str, tx) -> Dict[str, Any]:
+def make_steps(model, model_type: str, tx, nan_guard: bool = False) -> Dict[str, Any]:
     """Build the jitted step functions for a model.
 
     Args:
       model: bound-free flax module (DeformationNetwork or FlowArbitrary).
       model_type: 'forward' | 'backward' | 'arbitrary'.
       tx: LR-less optax transformation from ``optimizer_factory``.
+      nan_guard: skip the parameter/optimizer update (keeping the previous
+        state) whenever the batch loss is non-finite — a production
+        failure-detection guard absent in the reference; the bad loss is
+        still returned so the logger surfaces it.
 
     Returns:
       dict with ``train_step(state, batch, lr)``, ``validate_step(state,
@@ -80,6 +84,14 @@ def make_steps(model, model_type: str, tx) -> Dict[str, Any]:
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         updates = jax.tree.map(lambda u: -lr * u, updates)
         params = optax.apply_updates(state.params, updates)
+        if nan_guard:
+            ok = jnp.isfinite(loss)
+            pick = lambda new, old: jax.tree.map(
+                lambda n, o: jnp.where(ok, n, o), new, old
+            )
+            params = pick(params, state.params)
+            new_stats = pick(new_stats, state.batch_stats)
+            opt_state = pick(opt_state, state.opt_state)
         return (
             TrainState(
                 params=params,

@@ -152,3 +152,56 @@ def test_test_on_batch_semantics(fixture):
     assert np.isfinite(loss)
     assert out["surface_samples_tgt_pred"].shape == batch["surface_samples_src"].shape
     assert out["verts_tgt_pred"].shape == batch["verts_src"].shape
+
+
+def test_nan_guard_skips_bad_updates(fixture):
+    from nsdp_tpu.training.steps import make_steps
+    from nsdp_tpu.training import optimizer_factory, create_train_state
+    import copy
+
+    cfg = synthetic_config(fixture, model_type="forward")
+    model = build_model(cfg)
+    _, tx = optimizer_factory(cfg["training"])
+    steps = make_steps(model, "forward", tx, nan_guard=True)
+
+    ds = Deform4DFlowDataset(
+        cfg, "identity_seen", "train_seen", rng=np.random.RandomState(0)
+    )
+    loader = DataLoader(ds, batch_size=2, drop_last=True)
+    batch = next(iter(loader))
+    example = (
+        jnp.asarray(batch["space_samples_src"]),
+        jnp.asarray(batch["surface_samples_inputs"]),
+    )
+    state = create_train_state(model, jax.random.PRNGKey(0), example, tx)
+    before = jax.tree.map(jnp.copy, state.params)
+
+    bad = dict(batch)
+    bad["space_samples_tgt"] = batch["space_samples_tgt"] * np.nan
+    state, loss = steps["train_step"](state, bad, 1e-3)
+    assert not np.isfinite(float(loss))  # surfaced to the logger
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # a good batch still updates
+    state, loss = steps["train_step"](state, batch, 1e-3)
+    assert np.isfinite(float(loss))
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(state.params))
+    )
+    assert changed
+
+
+def test_training_deterministic(fixture):
+    """Same seed, same data order -> bitwise-identical losses."""
+    losses = []
+    for _ in range(2):
+        cfg, model, loader, schedule, state, steps = _setup(fixture, "forward")
+        run = []
+        for epoch in range(2):
+            for batch in loader:
+                state, loss = steps["train_step"](state, batch, 1e-3)
+                run.append(float(loss))
+        losses.append(run)
+    assert losses[0] == losses[1]

@@ -107,7 +107,10 @@ def main(argv):
     model_type = config["model"]["type"]
     model = build_model(config)
     lr_schedule, tx = optimizer_factory(config["training"])
-    steps = make_steps(model, model_type, tx)
+    steps = make_steps(
+        model, model_type, tx,
+        nan_guard=config["training"].get("nan_guard", False),
+    )
 
     example_batch = train_dataset.collate_fn(
         [train_dataset[i] for i in range(min(2, len(train_dataset)))]
