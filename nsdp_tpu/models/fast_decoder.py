@@ -65,6 +65,7 @@ def decode_fast(
     nneigh: int = 7,
     tile: int = 256,
     interpret: bool = None,
+    compute_dtype=None,
 ):
     """CrossTransformerDecoder forward with the fused attention kernel.
 
@@ -99,7 +100,7 @@ def decode_fast(
         ct["fc_gamma"]["fc0"]["kernel"], ct["fc_gamma"]["fc0"]["bias"],
         ct["fc_gamma"]["fc1"]["kernel"], ct["fc_gamma"]["fc1"]["bias"],
         k=nneigh, tile=tile, interpret=interpret,
-        k_glob=k_glob, v_glob=v_glob,
+        k_glob=k_glob, v_glob=v_glob, compute_dtype=compute_dtype,
     )
 
     net = _dense(params["init_enc"], lat)

@@ -39,13 +39,13 @@ def _mlp_weights(p):
     )
 
 
-def _transformer_block(p, s, xyz, feats, k, pos_only, interpret):
+def _transformer_block(p, s, xyz, feats, k, pos_only, interpret, compute_dtype=None):
     """TransformerBlock (local kNN) with fused attention + residual + BN."""
     if pos_only:
         res = fused_vector_attention(
             xyz, xyz, None, None, None,
             *_mlp_weights(p["fc_delta"]), *_mlp_weights(p["fc_gamma"]),
-            k=k, interpret=interpret,
+            k=k, interpret=interpret, compute_dtype=compute_dtype,
         )
     else:
         res = fused_vector_attention(
@@ -54,7 +54,7 @@ def _transformer_block(p, s, xyz, feats, k, pos_only, interpret):
             feats @ p["w_ks"]["kernel"],
             feats @ p["w_vs"]["kernel"],
             *_mlp_weights(p["fc_delta"]), *_mlp_weights(p["fc_gamma"]),
-            k=k, interpret=interpret,
+            k=k, interpret=interpret, compute_dtype=compute_dtype,
         )
         res = res + feats
     return _bn(p["bn"], s["bn"], res)
@@ -80,7 +80,7 @@ def _elementwise(p, s, x):
     return _bn(p["bn3"], s["bn3"], x + h)
 
 
-def _set_abstraction(p, s, xyz, points, npoint, k, interpret):
+def _set_abstraction(p, s, xyz, points, npoint, k, interpret, compute_dtype=None):
     """TransformerSetAbstraction with two fused cross-attention rounds."""
     xyz_ng = jax.lax.stop_gradient(xyz)
     fps_idx = furthest_point_sample(xyz_ng, npoint)
@@ -96,7 +96,7 @@ def _set_abstraction(p, s, xyz, points, npoint, k, interpret):
     q1 = index_points(points @ p["w_qs"]["kernel"], fps_idx)
     res1 = fused_vector_attention(
         nq_xyz, nkv_xyz, q1, K1, V1, *delta, *_mlp_weights(p["fc_gamma1"]),
-        k=k, interpret=interpret,
+        k=k, interpret=interpret, compute_dtype=compute_dtype,
     )
 
     h = _dense(p["conv1"], res1)
@@ -109,7 +109,7 @@ def _set_abstraction(p, s, xyz, points, npoint, k, interpret):
     V2 = points @ p["w_vs2"]["kernel"]
     res2 = fused_vector_attention(
         nq_xyz, nkv_xyz, q2, K2, V2, *delta, *_mlp_weights(p["fc_gamma2"]),
-        k=k, interpret=interpret,
+        k=k, interpret=interpret, compute_dtype=compute_dtype,
     )
 
     out = _bn(p["bnorm1"], s["bnorm1"], res1 + res2)
@@ -117,7 +117,8 @@ def _set_abstraction(p, s, xyz, points, npoint, k, interpret):
     return new_xyz, _bn(p["bnorm2"], s["bnorm2"], out)
 
 
-def encode_fast(encoder_module, params, batch_stats, xyz, interpret=False):
+def encode_fast(encoder_module, params, batch_stats, xyz, interpret=False,
+                compute_dtype=None):
     """PointTransformerEncoder forward from raw params (eval mode).
 
     Args:
@@ -134,12 +135,12 @@ def encode_fast(encoder_module, params, batch_stats, xyz, interpret=False):
         xyz = xyz[:, :, :3]
         feats = _transformer_block(
             params["transformer_begin"], batch_stats["transformer_begin"],
-            xyz, feats, enc.nneighbor_reduced, False, interpret,
+            xyz, feats, enc.nneighbor_reduced, False, interpret, compute_dtype,
         )
     else:
         feats = _transformer_block(
             params["transformer_begin"], batch_stats["transformer_begin"],
-            xyz, None, enc.nneighbor_reduced, True, interpret,
+            xyz, None, enc.nneighbor_reduced, True, interpret, compute_dtype,
         )
 
     n_levels = len(enc.npoints_per_layer) - 1
@@ -150,6 +151,7 @@ def encode_fast(encoder_module, params, batch_stats, xyz, interpret=False):
             params[f"transition_downs_{i}"]["sa"],
             batch_stats[f"transition_downs_{i}"]["sa"],
             xyz, feats, new_n, min(enc.nneighbor, old_n), interpret,
+            compute_dtype,
         )
         feats = _elementwise(
             params[f"elementwise_extras_{i}"],
@@ -159,6 +161,7 @@ def encode_fast(encoder_module, params, batch_stats, xyz, interpret=False):
             params[f"transformer_downs_{i}"],
             batch_stats[f"transformer_downs_{i}"],
             xyz, feats, min(enc.nneighbor, new_n), False, interpret,
+            compute_dtype,
         )
         if i == 0 and enc.d_reduced != enc.d_transformer:
             feats = _dense(params["fc1"], feats)
@@ -173,7 +176,8 @@ def encode_fast(encoder_module, params, batch_stats, xyz, interpret=False):
             feats = _group_all_block(p, s, xyz, feats)
         else:
             feats = _transformer_block(
-                p, s, xyz, feats, 2 * enc.nneighbor, False, interpret
+                p, s, xyz, feats, 2 * enc.nneighbor, False, interpret,
+                compute_dtype,
             )
         feats = _elementwise(
             params[f"final_elementwise_{i}"],

@@ -19,11 +19,13 @@ from nsdp_tpu.models.fast_encoder import encode_fast
 from nsdp_tpu.models.encoders import PointTransformerEncoder
 
 
-def _encode(encoder, params, batch_stats, conditioning, interpret):
+def _encode(encoder, params, batch_stats, conditioning, interpret,
+            compute_dtype=None):
     """Fused raw-param encoder when available, flax apply otherwise."""
     if isinstance(encoder, PointTransformerEncoder):
         return encode_fast(
-            encoder, params, batch_stats, conditioning, interpret=interpret
+            encoder, params, batch_stats, conditioning, interpret=interpret,
+            compute_dtype=compute_dtype,
         )
     return encoder.apply(
         {"params": params, "batch_stats": batch_stats},
@@ -32,18 +34,21 @@ def _encode(encoder, params, batch_stats, conditioning, interpret):
     )
 
 
-def _encoder_apply(net, variables, prefix, conditioning, interpret=False):
+def _encoder_apply(net, variables, prefix, conditioning, interpret=False,
+                   compute_dtype=None):
     return _encode(
         net.encoder,
         variables["params"][prefix]["encoder"],
         variables["batch_stats"][prefix]["encoder"],
         conditioning,
         interpret,
+        compute_dtype,
     )
 
 
 def make_fast_predict(
-    model, variables, model_type: str, nneigh: int = 7, interpret: bool = False
+    model, variables, model_type: str, nneigh: int = 7,
+    interpret: bool = False, compute_dtype=None,
 ):
     """Build the jitted fused predict function.
 
@@ -70,10 +75,12 @@ def make_fast_predict(
                 variables["batch_stats"]["encoder"],
                 cond,
                 interpret,
+                compute_dtype,
             )
             return decode_fast(
                 variables["params"]["decoder"], points, encoding,
                 nneigh=nneigh, interpret=interpret,
+                compute_dtype=compute_dtype,
             )
 
         return predict
@@ -91,23 +98,28 @@ def make_fast_predict(
         mask = surface_samples_inputs[:, :, 6:7]
 
         enc_b = _encoder_apply(
-            bwd, variables, "model_canonicalize", surf_src, interpret
+            bwd, variables, "model_canonicalize", surf_src, interpret,
+            compute_dtype,
         )
         bwd_dec = variables["params"]["model_canonicalize"]["decoder"]
         space_cano = decode_fast(
-            bwd_dec, points, enc_b, nneigh=nneigh, interpret=interpret
+            bwd_dec, points, enc_b, nneigh=nneigh, interpret=interpret,
+            compute_dtype=compute_dtype,
         )
         surf_cano = decode_fast(
-            bwd_dec, surf_src, enc_b, nneigh=nneigh, interpret=interpret
+            bwd_dec, surf_src, enc_b, nneigh=nneigh, interpret=interpret,
+            compute_dtype=compute_dtype,
         )
 
         conditioning = jnp.concatenate([surf_cano, surf_tgt, mask], axis=-1)
         enc_f = _encoder_apply(
-            fwd, variables, "model_deform", conditioning, interpret
+            fwd, variables, "model_deform", conditioning, interpret,
+            compute_dtype,
         )
         return decode_fast(
             variables["params"]["model_deform"]["decoder"], space_cano, enc_f,
             nneigh=nneigh, interpret=interpret,
+            compute_dtype=compute_dtype,
         )
 
     return predict

@@ -40,8 +40,12 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _mlp2(x, w0, b0, w1, b1):
-    h = jnp.maximum(jnp.dot(x, w0, preferred_element_type=_F32) + b0, 0.0)
-    return jnp.dot(h, w1, preferred_element_type=_F32) + b1
+    """Two-layer MLP; matmuls run in the weights' dtype (f32 or bf16) with
+    f32 accumulation, biases and activations stay f32."""
+    h = jnp.maximum(
+        jnp.dot(x.astype(w0.dtype), w0, preferred_element_type=_F32) + b0, 0.0
+    )
+    return jnp.dot(h.astype(w1.dtype), w1, preferred_element_type=_F32) + b1
 
 
 def _attn_kernel(
@@ -95,8 +99,12 @@ def _attn_kernel(
             logits = _mlp2(pos, gw0, gb0, gw1, gb1)
             value = pos
         else:
-            k_n = jnp.dot(onehot, K_a, preferred_element_type=_F32)
-            v_n = jnp.dot(onehot, V_a, preferred_element_type=_F32)
+            k_n = jnp.dot(
+                onehot.astype(K_a.dtype), K_a, preferred_element_type=_F32
+            )
+            v_n = jnp.dot(
+                onehot.astype(V_a.dtype), V_a, preferred_element_type=_F32
+            )
             logits = _mlp2(q - k_n + pos, gw0, gb0, gw1, gb1)
             value = v_n + pos
 
@@ -367,7 +375,8 @@ def _attn_bwd_kernel(
     dgb1_ref[0] += dgb1_a
 
 
-@partial(jax.jit, static_argnames=("k", "tile", "interpret", "return_idx"))
+@partial(jax.jit, static_argnames=("k", "tile", "interpret", "return_idx",
+                                   "compute_dtype"))
 def fused_vector_attention(
     xyz_q,
     kv_xyz,
@@ -382,6 +391,7 @@ def fused_vector_attention(
     k_glob: Optional[jax.Array] = None,
     v_glob: Optional[jax.Array] = None,
     return_idx: bool = False,
+    compute_dtype=None,
 ):
     """Fused kNN vector attention (pre-residual, pre-norm).
 
@@ -408,6 +418,10 @@ def fused_vector_attention(
     has_global = k_glob is not None
     if has_global and pos_only:
         raise ValueError("global token requires query features")
+    cd = jnp.dtype(compute_dtype) if compute_dtype is not None else _F32
+    # distances and coordinate deltas stay f32 (selection must be exact);
+    # feature matmuls may run bf16 with f32 accumulation.
+    cast = lambda x: x.astype(cd)
 
     tile = min(tile, _round_up(Nq, 128))
     q_pad = _round_up(Nq, tile)
@@ -427,14 +441,14 @@ def fused_vector_attention(
         feat_d = 1
     else:
         qf = jnp.pad(q_feats.astype(_F32), ((0, 0), (0, q_pad - Nq), (0, 0)))
-        K_p = jnp.pad(K_a.astype(_F32), ((0, 0), (0, m_pad - M), (0, 0)))
-        V_p = jnp.pad(V_a.astype(_F32), ((0, 0), (0, m_pad - M), (0, 0)))
+        K_p = jnp.pad(cast(K_a), ((0, 0), (0, m_pad - M), (0, 0)))
+        V_p = jnp.pad(cast(V_a), ((0, 0), (0, m_pad - M), (0, 0)))
         feat_d = D
 
-    dw0 = jnp.pad(delta_w0.astype(_F32), ((0, 8 - delta_w0.shape[0]), (0, 0)))[None]
-    dw1 = delta_w1.astype(_F32)[None]
-    gw0 = gamma_w0.astype(_F32)[None]
-    gw1 = gamma_w1.astype(_F32)[None]
+    dw0 = jnp.pad(cast(delta_w0), ((0, 8 - delta_w0.shape[0]), (0, 0)))[None]
+    dw1 = cast(delta_w1)[None]
+    gw0 = cast(gamma_w0)[None]
+    gw1 = cast(gamma_w1)[None]
     db0 = delta_b0.astype(_F32)[None, None]
     db1 = delta_b1.astype(_F32)[None, None]
     gb0 = gamma_b0.astype(_F32)[None, None]
