@@ -80,11 +80,10 @@ def _attn_kernel(
         d2 = d2 + diff * diff
     d2 = jnp.where(lane < m_valid, d2, jnp.inf)
 
-    m_run = jnp.full((T, D), -jnp.inf, _F32)
-    s_run = jnp.zeros((T, D), _F32)
-    acc = jnp.zeros((T, D), _F32)
     big = jnp.int32(M)
     idx_cols = []
+    logits_all = []
+    values_all = []
 
     for _ in range(k):
         m = jnp.min(d2, axis=-1, keepdims=True)
@@ -107,12 +106,8 @@ def _attn_kernel(
             )
             logits = _mlp2(q - k_n + pos, gw0, gb0, gw1, gb1)
             value = v_n + pos
-
-        m_new = jnp.maximum(m_run, logits)
-        scale = jnp.exp(m_run - m_new)
-        e = jnp.exp(logits - m_new)
-        m_run, s_run = m_new, s_run * scale + e
-        acc = acc * scale + e * value
+        logits_all.append(logits)
+        values_all.append(value)
 
     if has_global:
         # extra softmax slot: k/v projected from the global latent, zero
@@ -120,12 +115,20 @@ def _attn_kernel(
         glob = glob_ref[0]  # (8, D): row 0 = k_glob, row 1 = v_glob
         k_g = jnp.broadcast_to(glob[0:1, :], (T, D))
         v_g = jnp.broadcast_to(glob[1:2, :], (T, D))
-        logits = _mlp2(q - k_g, gw0, gb0, gw1, gb1)
-        m_new = jnp.maximum(m_run, logits)
-        scale = jnp.exp(m_run - m_new)
-        e = jnp.exp(logits - m_new)
-        m_run, s_run = m_new, s_run * scale + e
-        acc = acc * scale + e * v_g
+        logits_all.append(_mlp2(q - k_g, gw0, gb0, gw1, gb1))
+        values_all.append(v_g)
+
+    # single-pass softmax over the (few) slots: the per-slot (T, D) tensors
+    # fit VMEM, so one max + one exp per slot beats streaming renormalisation
+    m_max = logits_all[0]
+    for l in logits_all[1:]:
+        m_max = jnp.maximum(m_max, l)
+    s_run = jnp.zeros((T, D), _F32)
+    acc = jnp.zeros((T, D), _F32)
+    for l, v in zip(logits_all, values_all):
+        e = jnp.exp(l - m_max)
+        s_run = s_run + e
+        acc = acc + e * v
 
     out_ref[0] = acc / s_run
     if idx_ref is not None:
