@@ -7,7 +7,7 @@ bandwidth-bound.  This module provides:
 * :func:`fused_cross_attention` — the CrossTransformerBlock core on the
   generic global-token Pallas kernel: per query tile entirely in VMEM, the
   kNN over the anchors, one-hot MXU gathers, the position-encoding and
-  attention MLPs, and the per-channel softmax over neighbours + global
+  attention MLPs, and the per-channel softmax over neighbours + the global
   token.  Only (T, dim) tensors ever exist; nothing per-neighbour touches
   HBM.
 * :func:`decode_fast` — the full CrossTransformerDecoder forward

@@ -10,7 +10,8 @@ attending to the full cloud).  Per query tile, entirely in VMEM:
   2. k-pass min-extraction kNN (ties -> lowest index),
   3. one-hot MXU gathers of kv positions / keys / values per slot,
   4. the fc_delta position MLP and fc_gamma attention MLP,
-  5. per-channel streaming softmax over the k slots, weighted sum.
+  5. per-channel softmax over the k slots (single pass; per-slot (T, d)
+     tensors fit VMEM), weighted sum.
 
 The (Nq, k, d) neighbourhood tensors that make the XLA path bandwidth-bound
 never exist.  Residual adds and BatchNorm stay outside (one elementwise

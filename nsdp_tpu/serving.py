@@ -46,10 +46,8 @@ class DeformationService:
             example = (pts, surf, surf, mask)
         else:
             example = (pts, inputs)
-        import jax as _jax
-
         state = create_train_state(
-            self.model, _jax.random.PRNGKey(0), example, tx
+            self.model, jax.random.PRNGKey(0), example, tx
         )
         if weight_file:
             state = load_model_variables(weight_file, state)
@@ -57,7 +55,7 @@ class DeformationService:
         variables = {"params": state.params, "batch_stats": state.batch_stats}
 
         use_fused = (
-            _jax.default_backend() in ("tpu", "axon")
+            jax.default_backend() in ("tpu", "axon")
             and config["model"]["decoder"] == "crossatten"
             and config["model"]["encoder"] == "pointransformer"
         )
