@@ -94,3 +94,60 @@ def test_shipped_configs_parse():
                 assert cfg["model"]["type"] in ("forward", "backward", "arbitrary")
                 n += 1
     assert n >= 12
+
+
+def test_run_cli_userhandle(tmp_path):
+    """run.py end-to-end: mesh-only dataset, synthesized handle target."""
+    import numpy as np
+    from nsdp_tpu.data.synthetic import icosphere, deform_frame
+    from nsdp_tpu.utils import meshio
+
+    dataset_dir = tmp_path / "frames"
+    split_dir = tmp_path / "splits" / "tosca"
+    split_dir.mkdir(parents=True)
+    verts, faces = icosphere(1)
+    for name in ("cat0",):
+        frame = dataset_dir / name / "0000"
+        frame.mkdir(parents=True)
+        np.savetxt(str(frame / "orig_to_gaps.txt"), np.eye(4))
+        meshio.save_mesh(
+            str(frame / "model_normalized.obj"),
+            deform_frame(verts, 0.2, 1), faces,
+        )
+    for split in ("test_unseen_identities", "identity_unseen"):
+        with open(split_dir / (split + ".lst"), "w") as f:
+            f.write("cat0\n")
+
+    fixture = {
+        "dataset_dir": str(dataset_dir),
+        "split_dir": str(tmp_path / "splits"),
+    }
+    cfg = synthetic_config(fixture, model_type="arbitrary", arbitrary=True)
+    cfg["experiment"]["out_dir"] = str(tmp_path / "out")
+    cfg["data"]["type"] = "tosca"
+    cfg["data"]["mesh_file"] = "model_normalized.obj"
+    cfg["data"]["userhandle"] = {
+        "cliptail": False, "head": True, "tail": False,
+        "frontleftfoot": False, "frontrightfoot": False,
+        "behindleftfoot": False, "behindrightfoot": False,
+        "xtrans": -0.15, "ytrans": -0.2, "ztrans": -0.2,
+    }
+    cfg["test"]["iden_split"] = "identity_unseen"
+    cfg["test"]["motion_split"] = "test_unseen_identities"
+    cfg["test"]["generate_pointcloud"] = False
+    cfg["test"].pop("weight_file", None)
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    StatsLogger.reset()
+    import run as run_cli
+
+    run_cli.main([cfg_path])
+
+    exp_dir = os.path.join(cfg["experiment"]["out_dir"], "synthetic")
+    drag_dirs = [d for d in os.listdir(exp_dir) if d.startswith("drag_head")]
+    assert drag_dirs, os.listdir(exp_dir)
+    assert "x-0.15y-0.20z-0.20" in drag_dirs[0]
+    deformed = os.path.join(exp_dir, drag_dirs[0], "meshes", "deformed")
+    assert len(os.listdir(deformed)) == 1
