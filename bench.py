@@ -32,7 +32,7 @@ def main():
 
     Q = 65536
     N = 5000
-    K = 5
+    K = 8
     model = build_model(FLAGSHIP_CONFIG)
     batch = _example_batch(B=1, N=N, Q=Q)
     inputs = jnp.asarray(batch["surface_samples_inputs"])
@@ -59,7 +59,7 @@ def main():
             return predict(x, inputs_full)
         return jnp.sum(jax.lax.fori_loop(0, k, body, space_src))
 
-    def sync_time(k, n=5):
+    def sync_time(k, n=7):
         float(chain(space, k))  # warm / compile
         ts = []
         for _ in range(n):
