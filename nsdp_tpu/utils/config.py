@@ -57,11 +57,15 @@ def validate_config(config: Dict[str, Any]) -> None:
     model.setdefault("use_normals", False)
 
 
-def save_experiment_params(args, experiment_name: str, directory: str) -> None:
-    """Dump argparse vars + derived info to ``params.json`` (reference
-    ``utils/training_utils.py:19-31``)."""
+def save_experiment_params(
+    args, experiment_name: str, directory: str, config=None
+) -> None:
+    """Dump argparse vars + the experiment config to ``params.json``
+    (reference ``utils/training_utils.py:19-31`` merges both)."""
     params = {k: str(v) for k, v in vars(args).items()}
     params["experiment_name"] = experiment_name
+    if config is not None:
+        params["config"] = config
     os.makedirs(directory, exist_ok=True)
     with open(os.path.join(directory, "params.json"), "w") as f:
         json.dump(params, f, indent=2)

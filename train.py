@@ -71,7 +71,7 @@ def main(argv):
     experiment_name = config["experiment"]["name"]
     experiment_directory = os.path.join(output_directory, experiment_name)
     os.makedirs(experiment_directory, exist_ok=True)
-    save_experiment_params(args, experiment_name, experiment_directory)
+    save_experiment_params(args, experiment_name, experiment_directory, config)
     print(f"Save experiment statistics in {experiment_directory}")
 
     # datasets + loaders
