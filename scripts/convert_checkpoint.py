@@ -56,12 +56,13 @@ def main(argv=None):
     surf = jnp.asarray(rng.randn(1, 128, 3), jnp.float32)
     mask = jnp.ones((1, 128, 1), jnp.float32)
     inputs = jnp.concatenate([surf, surf * mask, mask], -1)
+    from functools import partial
+
+    jinit = jax.jit(partial(model.init, train=False))
     if args.model_type == "arbitrary":
-        variables = model.init(
-            jax.random.PRNGKey(0), pts, surf, surf, mask, train=False
-        )
+        variables = jinit(jax.random.PRNGKey(0), pts, surf, surf, mask)
     else:
-        variables = model.init(jax.random.PRNGKey(0), pts, inputs, train=False)
+        variables = jinit(jax.random.PRNGKey(0), pts, inputs)
 
     params, batch_stats = load_torch_checkpoint(
         args.torch_file, variables["params"], variables.get("batch_stats", {})
