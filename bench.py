@@ -32,7 +32,7 @@ def main():
 
     Q = 65536
     N = 5000
-    K = 8
+    K = 20
     model = build_model(FLAGSHIP_CONFIG)
     batch = _example_batch(B=1, N=N, Q=Q)
     inputs = jnp.asarray(batch["surface_samples_inputs"])
