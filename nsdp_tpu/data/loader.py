@@ -1,18 +1,46 @@
-"""Batching data loader with background prefetch.
+"""Batching data loader with bounded background prefetch.
 
 Replaces torch ``DataLoader`` (reference ``train.py:121-136``) with a
-thread-prefetching host pipeline: item assembly (numpy, disk IO) runs in a
-worker thread pool while the accelerator computes, and ready batches queue up
-ahead of consumption.  Device transfer is left to the caller (the train loop
-shards batches onto the mesh via ``nsdp_tpu.parallel``).
+prefetching host pipeline: item assembly (numpy, disk IO, KD-tree transforms)
+runs in a worker pool while the accelerator computes.  Device transfer is
+left to the caller (the train loop shards batches onto the mesh via
+``nsdp_tpu.parallel``).
+
+Memory contract: at most ``prefetch + num_workers`` batches are ever in
+flight or assembled-but-unconsumed, regardless of how slowly the consumer
+drains — batches are submitted through a sliding window, not all up front, so
+epoch length never affects host RAM.
+
+Workers default to threads (fine for IO-bound npz loading); pass
+``worker_type='process'`` for GIL-heavy item assembly (KD-tree hole cutting,
+partial-shape transforms — the work the reference ran in torch's process
+workers).  Process workers use the ``spawn`` start method (never fork a
+process holding a TPU client) and ship the dataset to each worker once via
+the pool initializer, not per task.
 """
 
-import queue
-import threading
-from concurrent.futures import ThreadPoolExecutor
+from collections import deque
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Callable, Iterator, Optional
 
+import multiprocessing as mp
+
 import numpy as np
+
+# Per-process globals for process workers: the dataset/collate pair is sent
+# once at pool start (initializer) instead of being pickled with every task.
+_WORKER_DATASET = None
+_WORKER_COLLATE = None
+
+
+def _init_process_worker(dataset, collate):
+    global _WORKER_DATASET, _WORKER_COLLATE
+    _WORKER_DATASET = dataset
+    _WORKER_COLLATE = collate
+
+
+def _process_make_batch(idxs):
+    return _WORKER_COLLATE([_WORKER_DATASET[int(i)] for i in idxs])
 
 
 class DataLoader:
@@ -23,9 +51,13 @@ class DataLoader:
       batch_size: samples per batch.
       shuffle: reshuffle indices each epoch (numpy RandomState ``seed``).
       drop_last: drop the trailing partial batch (keeps shapes static for
-        jit — recommended for training).
-      num_workers: worker threads for item assembly (0 = synchronous).
-      prefetch: max ready batches queued ahead (only with workers).
+        jit — recommended for training; validation pads instead, see
+        ``nsdp_tpu.training.steps.validate_step_masked``).
+      num_workers: workers for item assembly (0 = synchronous).
+      prefetch: extra ready batches held ahead of consumption; total
+        in-flight + unconsumed work is bounded by ``prefetch + num_workers``.
+      worker_type: 'thread' (default) or 'process' (GIL-heavy transforms;
+        dataset and collate_fn must be picklable).
     """
 
     def __init__(
@@ -38,7 +70,10 @@ class DataLoader:
         prefetch: int = 2,
         seed: Optional[int] = None,
         collate_fn: Optional[Callable] = None,
+        worker_type: str = "thread",
     ):
+        if worker_type not in ("thread", "process"):
+            raise ValueError(f"worker_type {worker_type!r}")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -47,6 +82,7 @@ class DataLoader:
         self.prefetch = max(1, prefetch)
         self.rng = np.random.RandomState(seed)
         self.collate = collate_fn or dataset.collate_fn
+        self.worker_type = worker_type
 
     def _batch_indices(self):
         n = len(self.dataset)
@@ -64,36 +100,45 @@ class DataLoader:
     def _make_batch(self, idxs):
         return self.collate([self.dataset[int(i)] for i in idxs])
 
+    def _make_pool(self):
+        if self.worker_type == "process":
+            return ProcessPoolExecutor(
+                self.num_workers,
+                mp_context=mp.get_context("spawn"),
+                initializer=_init_process_worker,
+                initargs=(self.dataset, self.collate),
+            )
+        return ThreadPoolExecutor(self.num_workers)
+
     def __iter__(self) -> Iterator:
         if self.num_workers <= 0:
             for idxs in self._batch_indices():
                 yield self._make_batch(idxs)
             return
 
-        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        sentinel = object()
-
-        def producer():
-            try:
-                with ThreadPoolExecutor(self.num_workers) as pool:
-                    futures = [
-                        pool.submit(self._make_batch, idxs)
-                        for idxs in self._batch_indices()
-                    ]
-                    for fut in futures:
-                        out_q.put(fut.result())
-            except BaseException as exc:  # surface worker errors to consumer
-                out_q.put(exc)
-            finally:
-                out_q.put(sentinel)
-
-        thread = threading.Thread(target=producer, daemon=True)
-        thread.start()
-        while True:
-            item = out_q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-        thread.join()
+        submit_fn = (
+            _process_make_batch
+            if self.worker_type == "process"
+            else self._make_batch
+        )
+        window = self.prefetch + self.num_workers
+        pending: deque = deque()
+        pool = self._make_pool()
+        try:
+            indices = self._batch_indices()
+            for idxs in indices:
+                pending.append(pool.submit(submit_fn, idxs))
+                if len(pending) >= window:
+                    break
+            while pending:
+                batch = pending.popleft().result()
+                # refill the window BEFORE yielding so workers stay busy
+                # while the consumer processes this batch
+                nxt = next(indices, None)
+                if nxt is not None:
+                    pending.append(pool.submit(submit_fn, nxt))
+                yield batch
+        finally:
+            for fut in pending:
+                fut.cancel()
+            pool.shutdown(wait=False, cancel_futures=True)

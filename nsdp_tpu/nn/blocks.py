@@ -80,6 +80,60 @@ class TwoLayerMLPWeights(fnn.Module):
         return k0, b0, k1, b1
 
 
+BN_MOMENTUM = 0.9  # EMA decay; equals torch BatchNorm1d's momentum=0.1
+
+
+class _TorchExactBatchNorm(fnn.Module):
+    """BatchNorm with torch's exact training dynamics.
+
+    Differs from ``flax.linen.BatchNorm`` in one semantic: the running
+    variance is updated with the *unbiased* (Bessel-corrected) batch variance,
+    as torch does (``torch.nn.BatchNorm1d`` docs; normalisation itself still
+    uses the biased variance in train mode).  flax updates with the biased
+    variance, which drifts the ``batch_stats`` trajectory away from a torch
+    run — detectable at small batch x point counts and a systematic bias at
+    any size.  Parameter / variable tree is identical to ``fnn.BatchNorm``
+    (params ``scale``/``bias``; batch_stats ``mean``/``var``), so checkpoints
+    and the torch converter are unaffected.
+    """
+
+    momentum: float = BN_MOMENTUM
+    epsilon: float = 1e-5
+    dtype: Optional[jnp.dtype] = None
+
+    @fnn.compact
+    def __call__(self, x, use_running_average: bool):
+        feat = x.shape[-1]
+        scale = self.param("scale", fnn.initializers.ones_init(), (feat,),
+                           jnp.float32)
+        bias = self.param("bias", fnn.initializers.zeros_init(), (feat,),
+                          jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((feat,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((feat,), jnp.float32)
+        )
+        reduce_axes = tuple(range(x.ndim - 1))
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=reduce_axes)
+            var = jnp.mean(jnp.square(xf - mean), axis=reduce_axes)
+            if not self.is_initializing():
+                n = 1
+                for a in reduce_axes:
+                    n *= x.shape[a]
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * unbiased
+        out_dtype = self.dtype or x.dtype
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(out_dtype)
+
+
 class BatchNorm(fnn.Module):
     """BatchNorm over all axes but the last, torch-``BatchNorm1d``-compatible."""
 
@@ -87,13 +141,12 @@ class BatchNorm(fnn.Module):
 
     @fnn.compact
     def __call__(self, x, train: bool):
-        return fnn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
+        return _TorchExactBatchNorm(
+            momentum=BN_MOMENTUM,
             epsilon=1e-5,
             dtype=self.dtype,
             name="bn",
-        )(x)
+        )(x, use_running_average=not train)
 
 
 def vector_attention(query, key, value, pos_enc, value_pos_enc, gamma_mlp):

@@ -21,7 +21,25 @@ import jax.numpy as jnp
 import optax
 
 from nsdp_tpu.models.deformation import compute_l2_error
+from nsdp_tpu.nn.blocks import BN_MOMENTUM
 from nsdp_tpu.training.state import TrainState
+
+
+def _double_bn_update(new_stats, old_stats):
+    """Compound a second identical BN running-stat EMA update.
+
+    The reference's stage-2 step calls ``model_canonicalize`` twice with the
+    same conditioning (``model/flow_arbitrary.py:19-20``), so its encoder's
+    BatchNorm running stats receive TWO sequential EMA updates with the same
+    batch statistic each step.  The encode-once composition here
+    (``models/deformation.py`` FlowArbitrary) computes one update
+    ``new = m*old + (1-m)*batch``; the compounded second update is
+    ``m*new + (1-m)*batch = (1+m)*new - m*old`` — exact, no extra encoder
+    pass.  Gradients need no correction: one encoding feeding both decodes
+    accumulates the same total gradient as two identical encode calls.
+    """
+    m = BN_MOMENTUM
+    return jax.tree.map(lambda n, o: (1.0 + m) * n - m * o, new_stats, old_stats)
 
 
 def _split_inputs(surface_samples_inputs):
@@ -74,7 +92,17 @@ def make_steps(model, model_type: str, tx, nan_guard: bool = False) -> Dict[str,
             train=True,
         )
         loss = compute_l2_error(pred, batch["space_samples_tgt"])
-        return loss, mutated["batch_stats"]
+        new_stats = mutated["batch_stats"]
+        if arbitrary:
+            new_stats = dict(new_stats)
+            new_stats["model_canonicalize"] = dict(
+                new_stats["model_canonicalize"]
+            )
+            new_stats["model_canonicalize"]["encoder"] = _double_bn_update(
+                new_stats["model_canonicalize"]["encoder"],
+                batch_stats["model_canonicalize"]["encoder"],
+            )
+        return loss, new_stats
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, lr):
@@ -114,6 +142,29 @@ def make_steps(model, model_type: str, tx, nan_guard: bool = False) -> Dict[str,
         return compute_l2_error(pred, batch["space_samples_tgt"])
 
     @jax.jit
+    def validate_step_masked(state: TrainState, batch, sample_mask):
+        """Validation loss over real samples only (pad+mask, no drop_last).
+
+        The reference evaluates every validation sample (torch DataLoader
+        default ``drop_last=False``, reference ``train.py:130-136``); jit
+        needs static shapes, so the trailing partial batch is padded to the
+        full batch size and ``sample_mask`` (B,) zeroes the padded rows out
+        of the mean — the masked mean over real samples equals torch's mean
+        over the smaller final batch.
+        """
+        pred, _ = forward(
+            state.params,
+            state.batch_stats,
+            batch["space_samples_src"],
+            batch["surface_samples_inputs"],
+            train=False,
+        )
+        delta = pred - batch["space_samples_tgt"]
+        per_sample = jnp.mean(0.5 * jnp.sum(delta * delta, axis=-1), axis=-1)
+        denom = jnp.maximum(jnp.sum(sample_mask), 1.0)
+        return jnp.sum(per_sample * sample_mask) / denom
+
+    @jax.jit
     def predict(state: TrainState, points, surface_samples_inputs):
         """Evaluate the deformation field at arbitrary query points."""
         pred, _ = forward(
@@ -125,6 +176,7 @@ def make_steps(model, model_type: str, tx, nan_guard: bool = False) -> Dict[str,
     return {
         "train_step": train_step,
         "validate_step": validate_step,
+        "validate_step_masked": validate_step_masked,
         "predict": predict,
     }
 

@@ -30,6 +30,38 @@ def pad_queries(points: np.ndarray, bucket: int = 4096):
     return np.concatenate([np.asarray(points), pad], axis=1), q
 
 
+def pad_batch(batch: dict, target_b: int):
+    """Pad every leaf's leading (batch) axis to ``target_b``; return mask.
+
+    Padded rows replicate the last real sample (valid data, so FPS/kNN see
+    nothing degenerate) and are excluded from losses via the returned
+    ``sample_mask`` (target_b,) float32 — 1 for real rows, 0 for padding.
+    Used for no-drop validation (reference evaluates every val sample,
+    ``train.py:130-136`` with torch's default ``drop_last=False``) and for
+    keeping batch shapes divisible by the device mesh's data axis.
+    """
+    sizes = {np.asarray(v).shape[0] for v in batch.values()
+             if np.asarray(v).ndim >= 1}
+    (b,) = sizes
+    mask = np.zeros((target_b,), dtype=np.float32)
+    mask[:b] = 1.0
+    if b == target_b:
+        return batch, mask
+    if b > target_b:
+        raise ValueError(f"batch of {b} exceeds target {target_b}")
+
+    def pad(v):
+        v = np.asarray(v)
+        if v.ndim == 0:
+            return v
+        reps = np.concatenate(
+            [v, np.repeat(v[-1:], target_b - b, axis=0)], axis=0
+        )
+        return reps
+
+    return {k: pad(v) for k, v in batch.items()}, mask
+
+
 def predict_padded(steps, state, points, surface_samples_inputs, bucket=4096):
     """Evaluate the deformation field with query-axis bucket padding.
 

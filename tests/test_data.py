@@ -198,3 +198,86 @@ class TestDeform4DDataset:
         assert set(dataset_dict) == {
             "deform4d", "deformtransfer", "tosca", "dogrec"
         }
+
+
+class _CountingDataset:
+    """Module-level (picklable) dataset that counts assembled items."""
+
+    def __init__(self, n):
+        import threading
+
+        self.n = n
+        self.assembled = 0
+        self.lock = threading.Lock()
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        with self.lock:
+            self.assembled += 1
+        return np.float32(i)
+
+    @staticmethod
+    def collate_fn(items):
+        return np.stack(items)
+
+
+class TestLoaderPrefetchBound:
+    def test_slow_consumer_never_accumulates(self):
+        """A stalled consumer must never hold more than
+        (prefetch + num_workers) assembled batches — the round-1 loader
+        submitted the whole epoch up front and buffered every completed
+        batch (multi-GB at stage-2 scale)."""
+        import time
+
+        ds = _CountingDataset(128)
+        loader = DataLoader(ds, batch_size=2, num_workers=2, prefetch=2)
+        window_items = (loader.prefetch + loader.num_workers) * 2
+        consumed = 0
+        max_ahead = 0
+        out = []
+        for batch in loader:
+            out.append(batch)
+            consumed += 2
+            time.sleep(0.005)  # slow consumer; workers are near-instant
+            with ds.lock:
+                max_ahead = max(max_ahead, ds.assembled - consumed)
+        assert consumed == 128
+        # one extra batch of slack: the refill submitted just before yield
+        assert max_ahead <= window_items + 2, max_ahead
+        np.testing.assert_array_equal(
+            np.concatenate(out), np.arange(128, dtype=np.float32)
+        )
+
+    def test_early_abandon_shuts_down(self):
+        ds = _CountingDataset(64)
+        loader = DataLoader(ds, batch_size=2, num_workers=2, prefetch=1)
+        it = iter(loader)
+        next(it)
+        it.close()  # consumer abandons mid-epoch; no hang, no leak
+
+    def test_process_workers(self):
+        ds = _PicklableDataset(16)
+        loader = DataLoader(
+            ds, batch_size=4, num_workers=2, worker_type="process"
+        )
+        out = np.concatenate(list(loader))
+        np.testing.assert_array_equal(out, np.arange(16, dtype=np.float32))
+
+
+class _PicklableDataset:
+    """Lock-free dataset shipped to spawn-based process workers."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return np.float32(i)
+
+    @staticmethod
+    def collate_fn(items):
+        return np.stack(items)

@@ -36,7 +36,9 @@ def fps_reference(xyz, npoint):
     B, N, _ = xyz.shape
     out = torch.zeros(B, npoint, dtype=torch.long)
     for b in range(B):
-        p = xyz[b].numpy()
+        # detach: index selection is non-differentiable (the reference's
+        # CUDA kernel likewise returns plain indices)
+        p = xyz[b].detach().numpy()
         valid = (p**2).sum(-1) > 1e-3
         mind = np.full(N, 1e10)
         sel = [0]

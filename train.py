@@ -56,10 +56,10 @@ def main(argv):
         make_steps,
         optimizer_factory,
         print_num_parameters,
-        save_best_checkpoints,
-        save_checkpoints,
     )
+    from nsdp_tpu.training.async_ckpt import AsyncCheckpointer
     from nsdp_tpu.training.checkpoints import load_model_variables
+    from nsdp_tpu.utils.padding import pad_batch
     from nsdp_tpu.utils.config import load_config, save_experiment_params
     from nsdp_tpu.utils.logger import StatsLogger, WandB
 
@@ -96,10 +96,13 @@ def main(argv):
         drop_last=True, num_workers=args.num_workers, seed=args.seed,
     )
     print(f"Loaded {len(train_dataset)} training deformation pairs")
+    # drop_last=False: the reference evaluates every validation sample
+    # (torch default); the trailing partial batch is padded + masked below.
+    val_batch_size = config["validation"].get("batch_size", 1)
     val_loader = DataLoader(
         validation_dataset,
-        batch_size=config["validation"].get("batch_size", 1),
-        shuffle=False, drop_last=True, num_workers=args.num_workers,
+        batch_size=val_batch_size,
+        shuffle=False, drop_last=False, num_workers=args.num_workers,
     )
     print(f"Loaded {len(validation_dataset)} validation deformation pairs")
 
@@ -146,10 +149,15 @@ def main(argv):
     state, _, _ = load_best_checkpoints(state, experiment_directory, args)
     state, _ = load_checkpoints(state, experiment_directory, args)
 
-    # mesh: data-parallel over as many chips as divide both batch sizes
-    import math
-    mesh = make_train_mesh(
-        math.gcd(batch_size, config["validation"].get("batch_size", 1))
+    # mesh: data-parallel over as many chips as divide the TRAIN batch;
+    # validation batches are padded up to a multiple of the mesh's data axis
+    # (a val batch_size of 1 must not silently shrink training to one chip).
+    mesh = make_train_mesh(batch_size)
+    data_axis = mesh.shape["data"]
+    val_target = -(-val_batch_size // data_axis) * data_axis
+    print(
+        f"Training mesh: {dict(mesh.shape)} "
+        f"(validation batches padded {val_batch_size} -> {val_target})"
     )
     state = replicate(state, mesh)
 
@@ -174,6 +182,7 @@ def main(argv):
     from nsdp_tpu.utils.profiling import StepTimer, trace_steps
 
     timer = StepTimer()
+    checkpointer = AsyncCheckpointer()  # never block training on ckpt IO
     for epoch in range(args.continue_from_epoch, epochs):
         lr = lr_schedule.get_learning_rate(epoch)
         profile_this_epoch = args.profile_dir and epoch == args.continue_from_epoch
@@ -186,23 +195,28 @@ def main(argv):
                 logger.print_progress(epoch + 1, b + 1, float(loss))
 
         if (epoch % save_every) == 0:
-            save_checkpoints(epoch, state, experiment_directory)
+            checkpointer.save(epoch, state, experiment_directory)
         logger.clear()
 
         if epoch % val_every == 0 and epoch > 0:
             print("====> Validation Epoch ====>")
             for b, batch in enumerate(val_loader):
+                batch, sample_mask = pad_batch(batch, val_target)
                 batch = shard_batch(batch, mesh)
-                loss = steps["validate_step"](state, batch)
+                sample_mask = shard_batch({"m": sample_mask}, mesh)["m"]
+                loss = steps["validate_step_masked"](
+                    state, batch, sample_mask
+                )
                 logger.print_progress(-1, b + 1, float(loss))
             val_loss = logger.loss
             if val_loss < args.best_val_loss:
-                save_best_checkpoints(
+                checkpointer.save_best(
                     epoch, state, experiment_directory, val_loss
                 )
                 args.best_val_loss = val_loss
             logger.clear()
             print("====> Validation Epoch ====>")
+    checkpointer.wait()
 
 
 if __name__ == "__main__":
