@@ -6,13 +6,23 @@ standard eval path (``training.steps`` predict) but routing every decoder
 evaluation through :func:`nsdp_tpu.models.fast_decoder.decode_fast`, and
 encoding each conditioning cloud exactly once.  Used by serving/benchmark;
 training keeps the flax path (the fused kernel has no VJP).
+
+Multi-chip: pass ``mesh`` (a ``('data','query')`` mesh from
+``nsdp_tpu.parallel.make_mesh``) and the whole predict is ``shard_map``-ped:
+each device encodes its batch shard and decodes its query shard — the field
+evaluation is embarrassingly parallel given the encoding, so no collectives
+are needed until the (XLA-inserted) output gather.  The Pallas kernels run
+per-device on local shards, so the single-chip qps number scales with the
+mesh.  Batch must divide the 'data' axis and Q the 'query' axis (serving
+pads queries to buckets anyway, see ``utils/padding.py``).
 """
 
 from functools import partial
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
 from nsdp_tpu.models.fast_decoder import decode_fast
 from nsdp_tpu.models.fast_encoder import encode_fast
@@ -49,6 +59,7 @@ def _encoder_apply(net, variables, prefix, conditioning, interpret=False,
 def make_fast_predict(
     model, variables, model_type: str, nneigh: int = 7,
     interpret: bool = False, compute_dtype=None,
+    mesh: Optional[Any] = None,
 ):
     """Build the jitted fused predict function.
 
@@ -58,12 +69,13 @@ def make_fast_predict(
       variables: {'params', 'batch_stats'} for it.
       model_type: 'forward' | 'backward' | 'arbitrary'.
       nneigh: decoder anchor neighbourhood (config ``decoder_kwargs.nneigh``).
+      mesh: optional ('data','query') device mesh; when given, the batch
+        axis is sharded over 'data' and the query axis over 'query'.
     """
     if model_type in ("forward", "backward"):
         no_corr = model_type == "backward"
 
-        @jax.jit
-        def predict(points, surface_samples_inputs):
+        def predict_impl(variables, points, surface_samples_inputs):
             cond = (
                 surface_samples_inputs[:, :, 0:3]
                 if no_corr
@@ -83,43 +95,60 @@ def make_fast_predict(
                 compute_dtype=compute_dtype,
             )
 
-        return predict
+    elif model_type == "arbitrary":
+        bwd = model.model_canonicalize
+        fwd = model.model_deform
 
-    if model_type != "arbitrary":
+        def predict_impl(variables, points, surface_samples_inputs):
+            surf_src = surface_samples_inputs[:, :, 0:3]
+            surf_tgt = surface_samples_inputs[:, :, 3:6]
+            mask = surface_samples_inputs[:, :, 6:7]
+
+            enc_b = _encoder_apply(
+                bwd, variables, "model_canonicalize", surf_src, interpret,
+                compute_dtype,
+            )
+            bwd_dec = variables["params"]["model_canonicalize"]["decoder"]
+            space_cano = decode_fast(
+                bwd_dec, points, enc_b, nneigh=nneigh, interpret=interpret,
+                compute_dtype=compute_dtype,
+            )
+            surf_cano = decode_fast(
+                bwd_dec, surf_src, enc_b, nneigh=nneigh, interpret=interpret,
+                compute_dtype=compute_dtype,
+            )
+
+            conditioning = jnp.concatenate(
+                [surf_cano, surf_tgt, mask], axis=-1
+            )
+            enc_f = _encoder_apply(
+                fwd, variables, "model_deform", conditioning, interpret,
+                compute_dtype,
+            )
+            return decode_fast(
+                variables["params"]["model_deform"]["decoder"], space_cano,
+                enc_f, nneigh=nneigh, interpret=interpret,
+                compute_dtype=compute_dtype,
+            )
+
+    else:
         raise ValueError(model_type)
 
-    bwd = model.model_canonicalize
-    fwd = model.model_deform
+    if mesh is None:
+        return jax.jit(partial(predict_impl, variables))
 
-    @jax.jit
-    def predict(points, surface_samples_inputs):
-        surf_src = surface_samples_inputs[:, :, 0:3]
-        surf_tgt = surface_samples_inputs[:, :, 3:6]
-        mask = surface_samples_inputs[:, :, 6:7]
+    # shard_map: batch over 'data', queries over 'query', weights replicated.
+    # The conditioning cloud is replicated along 'query' (every query shard
+    # needs the full encoding of its batch element); the per-device encoder
+    # pass is redundant across the query axis but tiny next to the decode
+    # at serving Q (the decode is the linear-in-Q cost being sharded).
+    from jax.experimental.shard_map import shard_map
 
-        enc_b = _encoder_apply(
-            bwd, variables, "model_canonicalize", surf_src, interpret,
-            compute_dtype,
-        )
-        bwd_dec = variables["params"]["model_canonicalize"]["decoder"]
-        space_cano = decode_fast(
-            bwd_dec, points, enc_b, nneigh=nneigh, interpret=interpret,
-            compute_dtype=compute_dtype,
-        )
-        surf_cano = decode_fast(
-            bwd_dec, surf_src, enc_b, nneigh=nneigh, interpret=interpret,
-            compute_dtype=compute_dtype,
-        )
-
-        conditioning = jnp.concatenate([surf_cano, surf_tgt, mask], axis=-1)
-        enc_f = _encoder_apply(
-            fwd, variables, "model_deform", conditioning, interpret,
-            compute_dtype,
-        )
-        return decode_fast(
-            variables["params"]["model_deform"]["decoder"], space_cano, enc_f,
-            nneigh=nneigh, interpret=interpret,
-            compute_dtype=compute_dtype,
-        )
-
-    return predict
+    mapped = shard_map(
+        predict_impl,
+        mesh=mesh,
+        in_specs=(P(), P("data", "query"), P("data")),
+        out_specs=P("data", "query"),
+        check_rep=False,
+    )
+    return jax.jit(partial(mapped, variables))
