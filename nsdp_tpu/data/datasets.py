@@ -233,9 +233,17 @@ class Deform4DFlowDataset:
         s_tgt_masked = s_tgt * handle[:, None]
         if dcfg["noise_level"] > 0.0:
             s_src = T.add_noise(s_src, dcfg["noise_level"], rng=self.rng)
-        inputs = np.concatenate(
-            [s_src, s_tgt_masked, handle[:, None]], axis=1
-        ).astype(np.float32)
+        # With ``model.use_normals`` the conditioning gains the source
+        # normals: [src xyz, src normals, masked tgt xyz, mask] (10ch).
+        # The reference declares the matching encoder dims
+        # (``deformation_networks.py:16-30``: 3 extra backward / 7 forward
+        # features) but never emits them from its dataset — this completes
+        # that contract (see ``models/deformation.py`` docstring).
+        parts = [s_src]
+        if self.cfg.get("model", {}).get("use_normals", False):
+            parts.append(n_src)
+        parts += [s_tgt_masked, handle[:, None]]
+        inputs = np.concatenate(parts, axis=1).astype(np.float32)
 
         if dcfg["partial_shape_ratio"] < 1.0:
             keep = T.partial_shape_indices(
@@ -380,6 +388,13 @@ class DeformUserhandleDataset(Deform4DFlowDataset):
 
     def __getitem__(self, index: int) -> Dict:
         dcfg = self.cfg["data"]
+        if self.cfg.get("model", {}).get("use_normals", False):
+            raise ValueError(
+                "use_normals is not supported for user-handle datasets: "
+                "they are mesh-only (vertices double as surface samples, no "
+                "stored normals); the reference has no working normals path "
+                "here either."
+            )
         dir_cano, dir_src, dir_tgt = self._resolve_pair_dirs(index)
         self._maybe_reshuffle(index)
 

@@ -100,7 +100,10 @@ def build_deformation_network(
     decoder = decoder_cls(dtype=dtype, **dec_extra, **model_cfg["decoder_kwargs"])
 
     return DeformationNetwork(
-        encoder=encoder, decoder=decoder, no_input_corr=no_input_corr
+        encoder=encoder,
+        decoder=decoder,
+        no_input_corr=no_input_corr,
+        use_normals=model_cfg.get("use_normals", False),
     )
 
 
@@ -123,6 +126,14 @@ def build_model(config: Dict[str, Any], dtype: Optional[jnp.dtype] = None):
     if model_type == "backward":
         return build_deformation_network(config, no_input_corr=True, dtype=dtype)
     if model_type == "arbitrary":
+        if config["model"].get("use_normals", False):
+            raise ValueError(
+                "use_normals is not supported for the 'arbitrary' "
+                "composition: the canonicalised surface produced "
+                "mid-composition has no normals to condition the forward "
+                "net on (the reference declares the flag but has no "
+                "working normals path, see models/deformation.py)."
+            )
         return FlowArbitrary(
             model_canonicalize=build_deformation_network(
                 config, no_input_corr=True, dtype=dtype

@@ -14,10 +14,21 @@ Input contract (identical to the reference):
   * ``points`` (B, Q, 3) are arbitrary query positions; the output is their
     deformed absolute position (B, Q, out_dim).
 
-Note: the reference's ``use_normals`` flag is accepted for config parity but
-its backward-with-normals combination is inconsistent in the reference (the
-encoder is built for 3 extra channels that are then sliced away); only the
-shipped-config behaviour (``use_normals: false``) is exercised.
+``use_normals`` support — chosen behaviour vs the reference:
+  The reference declares the encoder dims for normals
+  (``deformation_networks.py:16-30``: backward inp_feat_dim=3, forward 7)
+  but the feature is unfinished upstream: its dataset never concatenates
+  normals into ``surface_samples_inputs`` (they are emitted as separate
+  keys the closures ignore), and the backward net slices the conditioning
+  to xyz-only, so a backward-with-normals model would crash in the
+  encoder's empty feature slice.  Here the contract is completed
+  consistently: with ``use_normals: true`` the datasets emit 10-channel
+  inputs ``[src xyz(3), src normals(3), masked tgt xyz(3), mask(1)]``;
+  the forward net conditions on all 10 (inp_feat_dim=7 = normals+masked
+  tgt+mask, the reference's declared dim), the backward net on channels
+  0:6 (inp_feat_dim=3 = normals).  ``arbitrary`` rejects normals (the
+  canonicalised surface produced mid-composition has no normals — the
+  reference has no semantics to complete there).
 """
 
 from typing import Optional
@@ -44,10 +55,14 @@ class DeformationNetwork(fnn.Module):
     encoder: fnn.Module
     decoder: fnn.Module
     no_input_corr: bool = False
+    use_normals: bool = False
 
     def encode(self, surface_samples_inputs, train: bool = False):
         if self.no_input_corr:
-            conditioning = surface_samples_inputs[:, :, 0:3]
+            # backward net: xyz only, or xyz + source normals (see module
+            # docstring for the use_normals channel contract)
+            end = 6 if self.use_normals else 3
+            conditioning = surface_samples_inputs[:, :, 0:end]
         else:
             conditioning = surface_samples_inputs
         # `train` passed positionally: it is a remat static_argnum when the

@@ -74,10 +74,13 @@ def make_fast_predict(
     """
     if model_type in ("forward", "backward"):
         no_corr = model_type == "backward"
+        # backward conditioning: xyz, or xyz + source normals (10ch inputs;
+        # channel contract in models/deformation.py)
+        cond_end = 6 if getattr(model, "use_normals", False) else 3
 
         def predict_impl(variables, points, surface_samples_inputs):
             cond = (
-                surface_samples_inputs[:, :, 0:3]
+                surface_samples_inputs[:, :, 0:cond_end]
                 if no_corr
                 else surface_samples_inputs
             )

@@ -184,6 +184,24 @@ class TestDeform4DDataset:
             inputs[:, 3:6], item["surface_samples_tgt"] * mask, atol=1e-6
         )
 
+    def test_use_normals_inputs_10ch(self, fixture):
+        """With model.use_normals the conditioning becomes
+        [src xyz, src normals, tgt*mask, mask] (channel contract in
+        models/deformation.py)."""
+        cfg = self._cfg(fixture)
+        cfg["model"]["use_normals"] = True
+        ds = Deform4DFlowDataset(cfg, "identity_seen", "test_unseen_motions")
+        item = ds[0]
+        inputs = item["surface_samples_inputs"]
+        assert inputs.shape[-1] == 10
+        np.testing.assert_allclose(
+            inputs[:, 3:6], item["surface_normals_src"], atol=1e-6
+        )
+        mask = inputs[:, 9:10]
+        np.testing.assert_allclose(
+            inputs[:, 6:9], item["surface_samples_tgt"] * mask, atol=1e-6
+        )
+
     def test_loader_batching(self, fixture):
         cfg = self._cfg(fixture)
         ds = Deform4DFlowDataset(cfg, "identity_seen", "test_unseen_motions")

@@ -52,12 +52,15 @@ def _inputs(rng, B=2, N=32, Q=20):
     return pts, inputs
 
 
-def _enc_kw_torch(no_input_corr):
+def _enc_kw_torch(no_input_corr, use_normals=False):
     kw = dict(ENC_KW)
     if no_input_corr:
-        kw.update(has_features=False, inp_feat_dim=0)
+        if use_normals:
+            kw.update(has_features=True, inp_feat_dim=3)
+        else:
+            kw.update(has_features=False, inp_feat_dim=0)
     else:
-        kw.update(has_features=True, inp_feat_dim=4)
+        kw.update(has_features=True, inp_feat_dim=7 if use_normals else 4)
     return kw
 
 
@@ -86,6 +89,59 @@ def test_deformation_network_parity(model_type, rng):
         train=False,
     )
     np.testing.assert_allclose(np.asarray(jout), tout, rtol=1e-3, atol=2e-4)
+
+
+def _inputs_normals(rng, B=2, N=32, Q=20):
+    """10-channel use_normals inputs: [src xyz, src normals, tgt*mask, mask]."""
+    surf_src = rng.randn(B, N, 3).astype(np.float32)
+    normals = rng.randn(B, N, 3).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+    surf_tgt = rng.randn(B, N, 3).astype(np.float32)
+    mask = (rng.rand(B, N, 1) > 0.5).astype(np.float32)
+    pts = rng.randn(B, Q, 3).astype(np.float32)
+    inputs = np.concatenate([surf_src, normals, surf_tgt * mask, mask], -1)
+    return pts, inputs
+
+
+@pytest.mark.parametrize("model_type", ["forward", "backward"])
+def test_use_normals_parity(model_type, rng):
+    """3-/7-feature encoder inputs end-to-end vs the torch replica
+    (reference dims ``deformation_networks.py:16-30``; channel contract
+    and upstream-inconsistency notes in ``models/deformation.py``)."""
+    no_corr = model_type == "backward"
+    tmodel = torch_ref.DefNet(
+        _enc_kw_torch(no_corr, use_normals=True), DEC_KW, no_corr,
+        use_normals=True,
+    )
+    tmodel.eval()
+
+    pts, inputs = _inputs_normals(rng)
+    with torch.no_grad():
+        tout = tmodel(torch.tensor(pts), torch.tensor(inputs)).numpy()
+
+    cfg = _config(model_type)
+    cfg["model"]["use_normals"] = True
+    jmodel = build_model(cfg)
+    variables = jmodel.init(
+        jax.random.PRNGKey(0), jnp.asarray(pts), jnp.asarray(inputs),
+        train=False,
+    )
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    params, batch_stats = convert_state_dict(
+        sd, variables["params"], variables.get("batch_stats", {})
+    )
+    jout = jmodel.apply(
+        {"params": params, "batch_stats": batch_stats},
+        jnp.asarray(pts), jnp.asarray(inputs), train=False,
+    )
+    np.testing.assert_allclose(np.asarray(jout), tout, rtol=1e-3, atol=2e-4)
+
+
+def test_use_normals_arbitrary_rejected():
+    cfg = _config("arbitrary")
+    cfg["model"]["use_normals"] = True
+    with pytest.raises(ValueError, match="use_normals"):
+        build_model(cfg)
 
 
 def test_flow_arbitrary_parity(rng):

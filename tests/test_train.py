@@ -80,6 +80,35 @@ def test_overfit_decreases_loss(fixture, model_type):
     assert np.isfinite(float(val))
 
 
+@pytest.mark.parametrize("model_type", ["forward", "backward"])
+def test_use_normals_train_step(fixture, model_type):
+    """use_normals end-to-end: the dataset emits 10-channel inputs and the
+    3-/7-feature encoders train on them."""
+    cfg = synthetic_config(fixture, model_type=model_type)
+    cfg["model"]["use_normals"] = True
+    cfg["data"]["inverse"] = model_type == "backward"
+    model = build_model(cfg)
+    ds = Deform4DFlowDataset(
+        cfg, "identity_seen", "train_seen", num_sampled_pairs=-1,
+        rng=np.random.RandomState(0),
+    )
+    loader = DataLoader(ds, batch_size=2, shuffle=True, seed=0, drop_last=True)
+    batch = next(iter(loader))
+    assert batch["surface_samples_inputs"].shape[-1] == 10
+    _, tx = optimizer_factory(cfg["training"])
+    example = (
+        jnp.asarray(batch["space_samples_src"]),
+        jnp.asarray(batch["surface_samples_inputs"]),
+    )
+    state = create_train_state(model, jax.random.PRNGKey(0), example, tx)
+    steps = make_steps(model, model_type, tx)
+    state, loss0 = steps["train_step"](state, batch, 1e-3)
+    state, loss1 = steps["train_step"](state, batch, 1e-3)
+    assert np.isfinite(float(loss0)) and np.isfinite(float(loss1))
+    val = steps["validate_step"](state, batch)
+    assert np.isfinite(float(val))
+
+
 def test_checkpoint_roundtrip(fixture, tmp_path):
     cfg, model, loader, schedule, state, steps = _setup(fixture, "forward")
     exp_dir = str(tmp_path / "exp")

@@ -395,14 +395,20 @@ class Decoder(tnn.Module):
 
 
 class DefNet(tnn.Module):
-    def __init__(self, enc_kwargs, dec_kwargs, no_input_corr):
+    def __init__(self, enc_kwargs, dec_kwargs, no_input_corr,
+                 use_normals=False):
         super().__init__()
         self.no_input_corr = no_input_corr
+        self.cond_end = 6 if (no_input_corr and use_normals) else 3
         self.encoder = Encoder(**enc_kwargs)
         self.decoder = Decoder(**dec_kwargs)
 
     def forward(self, points, inputs):
-        cond = inputs[:, :, 0:3] if self.no_input_corr else inputs
+        cond = (
+            inputs[:, :, 0 : self.cond_end]
+            if self.no_input_corr
+            else inputs
+        )
         return self.decoder(points, self.encoder(cond))
 
 
