@@ -48,6 +48,13 @@ class PointTransformerEncoder(fnn.Module):
 
     @fnn.compact
     def __call__(self, xyz, train: bool = False):
+        # Debug hook (reference ``pointransformer.py:96-135``
+        # intermediate_out_path): per-level anchor clouds are sown into the
+        # 'intermediates' collection; apply with
+        # ``mutable=['intermediates']`` (or use
+        # :func:`dump_encoder_intermediates`) to retrieve them — IO stays
+        # outside jit, the TPU program is unchanged when not requested.
+        self.sow("intermediates", "Input", xyz[:, :, :3])
         if self.has_features:
             feats_in = fnn.Dense(
                 self.d_reduced, dtype=self.dtype, name="enc_sdf"
@@ -86,6 +93,7 @@ class PointTransformerEncoder(fnn.Module):
                 fused=self.fused,
                 name=f"transition_downs_{i}",
             )(xyz, feats, train)
+            self.sow("intermediates", f"SetAbs{i}", xyz)
             feats = ElementwiseMLP(
                 dim, dtype=self.dtype, name=f"elementwise_extras_{i}"
             )(feats, train)
@@ -96,6 +104,7 @@ class PointTransformerEncoder(fnn.Module):
                 fused=self.fused,
                 name=f"transformer_downs_{i}",
             )(xyz, feats, train)
+            self.sow("intermediates", f"PTB{i}", xyz)
             if i == 0 and self.d_reduced != self.d_transformer:
                 feats = fnn.Dense(
                     self.d_transformer, dtype=self.dtype, name="fc1"
@@ -116,12 +125,37 @@ class PointTransformerEncoder(fnn.Module):
             feats = ElementwiseMLP(
                 self.d_transformer, dtype=self.dtype, name=f"final_elementwise_{i}"
             )(feats, train)
+            self.sow("intermediates", f"fullPTB{i}", xyz)
 
         lat_vec = jnp.max(feats, axis=1)
         z = TwoLayerMLP(self.d_transformer, dtype=self.dtype, name="fc_middle")(
             lat_vec
         )
         return {"z": z, "anchors": xyz, "anchor_feats": feats}
+
+
+def dump_encoder_intermediates(encoder, variables, xyz, out_path):
+    """Write the encoder's per-level point clouds to ``out_path``.
+
+    The reference's ``intermediate_out_path`` debug hook
+    (``model/encoder/pointransformer.py:96-135``): one npz with the first
+    batch element's input cloud and each level's anchor positions.  Here the
+    clouds are collected through flax's 'intermediates' collection in a
+    single traced apply, then written host-side.
+    """
+    import os
+
+    import numpy as np
+
+    _, state = encoder.apply(
+        variables, xyz, False, mutable=["intermediates"]
+    )
+    inter = state["intermediates"]
+    out = {k: np.asarray(v[0])[0] for k, v in inter.items()}
+    os.makedirs(out_path, exist_ok=True)
+    path = os.path.join(out_path, "intermediate_pcs.npz")
+    np.savez(path, **out)
+    return path
 
 
 class PointNetPlusPlusEncoder(fnn.Module):

@@ -181,25 +181,52 @@ def make_steps(model, model_type: str, tx, nan_guard: bool = False) -> Dict[str,
     }
 
 
-def test_on_batch(steps, state, batch, compute_loss: bool = True):
+def test_on_batch(
+    steps,
+    state,
+    batch,
+    compute_loss: bool = True,
+    fast_predict=None,
+    bucket: int = 4096,
+):
     """Reference ``test_on_batch_*`` semantics: predict deformed surface
     samples and deformed full-resolution vertices, stash them in the batch
-    dict, optionally compute the vertex L2 loss.
+    dict, optionally compute the vertex L2 loss.  This is the shared
+    per-batch eval used by ``test.py`` and ``run.py``.
 
     For the 'arbitrary' model the queried source points are the *surface*
     samples (not space samples); for forward/backward they are too
     (reference ``deformation_networks.py:91-109``, ``flow_arbitrary.py:66-85``).
+
+    Variable-size vertex queries are bucket-padded (exact: padded queries
+    are sliced off, see ``utils/padding.py``).  When ``fast_predict`` (the
+    fused Pallas path from ``models.fast_predict``) is given, both
+    evaluations route through it.
     """
+    import numpy as np
+
+    from nsdp_tpu.utils.padding import predict_padded
+
     inputs = batch["surface_samples_inputs"]
     surf_src = inputs[:, :, 0:3]
-    batch["surface_samples_tgt_pred"] = steps["predict"](state, surf_src, inputs)
+    if fast_predict is not None:
+        predictor = fast_predict
+        batch["surface_samples_tgt_pred"] = np.asarray(
+            fast_predict(jnp.asarray(surf_src), jnp.asarray(inputs))
+        )
+    else:
+        predictor = steps
+        batch["surface_samples_tgt_pred"] = np.asarray(
+            steps["predict"](state, surf_src, inputs)
+        )
     if "verts_src" in batch:
-        batch["verts_tgt_pred"] = steps["predict"](
-            state, batch["verts_src"], inputs
+        batch["verts_tgt_pred"] = predict_padded(
+            predictor, state, batch["verts_src"], inputs, bucket
         )
         if compute_loss and "verts_tgt" in batch:
             mask = batch.get("verts_valid_mask")
-            pred, tgt = batch["verts_tgt_pred"], batch["verts_tgt"]
+            pred = jnp.asarray(batch["verts_tgt_pred"])
+            tgt = jnp.asarray(batch["verts_tgt"])
             if mask is not None:
                 delta2 = 0.5 * jnp.sum((pred - tgt) ** 2, axis=-1) * mask
                 loss = jnp.sum(delta2) / jnp.maximum(jnp.sum(mask), 1.0)

@@ -44,7 +44,7 @@ def main(argv):
         generate_pointclouds,
     )
     from nsdp_tpu.utils.logger import StatsLogger
-    from nsdp_tpu.utils.padding import predict_padded
+    from nsdp_tpu.training.steps import test_on_batch
 
     print("Running on", jax.devices())
     config = load_config(args.config_file)
@@ -125,19 +125,8 @@ def main(argv):
     logger = StatsLogger.instance()
     print("====> Interactive Editing ====>")
     for b, batch in enumerate(test_loader):
-        inputs = batch["surface_samples_inputs"]
-        surf_src = inputs[:, :, 0:3]
-        predictor = fast_predict if fast_predict is not None else steps
-        if fast_predict is not None:
-            batch["surface_samples_tgt_pred"] = np.asarray(
-                fast_predict(jnp.asarray(surf_src), jnp.asarray(inputs))
-            )
-        else:
-            batch["surface_samples_tgt_pred"] = np.asarray(
-                steps["predict"](state, surf_src, inputs)
-            )
-        batch["verts_tgt_pred"] = predict_padded(
-            predictor, state, batch["verts_src"], inputs
+        _, batch = test_on_batch(
+            steps, state, batch, compute_loss=False, fast_predict=fast_predict
         )
         logger.print_progress(-1, b + 1, 0.0)
 

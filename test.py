@@ -38,8 +38,7 @@ def main(argv):
     from nsdp_tpu.utils.generation import generate_meshes, generate_pointclouds
     from nsdp_tpu.utils.logger import StatsLogger
     from nsdp_tpu.utils.metrics import compute_evaluation_metrics
-    from nsdp_tpu.utils.padding import predict_padded
-    from nsdp_tpu.models.deformation import compute_l2_error
+    from nsdp_tpu.training.steps import test_on_batch
 
     print("Running on", jax.devices())
     config = load_config(args.config_file)
@@ -131,25 +130,8 @@ def main(argv):
 
     print("====> Inference / Test ====>")
     for b, batch in enumerate(test_loader):
-        inputs = batch["surface_samples_inputs"]
-        surf_src = inputs[:, :, 0:3]
-        predictor = fast_predict if fast_predict is not None else steps
-        if fast_predict is not None:
-            batch["surface_samples_tgt_pred"] = np.asarray(
-                fast_predict(jnp.asarray(surf_src), jnp.asarray(inputs))
-            )
-        else:
-            batch["surface_samples_tgt_pred"] = np.asarray(
-                steps["predict"](state, surf_src, inputs)
-            )
-        batch["verts_tgt_pred"] = predict_padded(
-            predictor, state, batch["verts_src"], inputs
-        )
-        loss = float(
-            compute_l2_error(
-                jnp.asarray(batch["verts_tgt_pred"]),
-                jnp.asarray(batch["verts_tgt"]),
-            )
+        loss, batch = test_on_batch(
+            steps, state, batch, compute_loss=True, fast_predict=fast_predict
         )
 
         eval_dict = compute_evaluation_metrics(batch)

@@ -79,3 +79,36 @@ def test_export_flow_field(tmp_path):
     text = open(path).read()
     assert "element vertex 20" in text
     assert "element edge 10" in text
+
+
+def test_encoder_intermediates_dump(tmp_path):
+    """Reference ``intermediate_out_path`` debug hook
+    (``model/encoder/pointransformer.py:96-135``): per-level anchor clouds
+    land in intermediate_pcs.npz with the reference's key names."""
+    import jax
+    import jax.numpy as jnp
+
+    from nsdp_tpu.models.encoders import (
+        PointTransformerEncoder,
+        dump_encoder_intermediates,
+    )
+
+    enc = PointTransformerEncoder(
+        npoints_per_layer=[32, 16, 8], nneighbor=6, nneighbor_reduced=4,
+        nfinal_transformers=2, d_transformer=16, d_reduced=12, full_SA=True,
+    )
+    xyz = jnp.asarray(
+        np.random.RandomState(0).randn(2, 32, 3), jnp.float32
+    )
+    variables = enc.init(jax.random.PRNGKey(0), xyz, False)
+    # init must NOT leak the intermediates collection into the train state
+    assert set(variables.keys()) == {"params", "batch_stats"}
+
+    path = dump_encoder_intermediates(enc, variables, xyz, str(tmp_path))
+    d = np.load(path)
+    assert set(d.files) == {
+        "Input", "SetAbs0", "PTB0", "SetAbs1", "PTB1", "fullPTB0", "fullPTB1"
+    }
+    assert d["Input"].shape == (32, 3)
+    assert d["SetAbs0"].shape == (16, 3)
+    assert d["fullPTB1"].shape == (8, 3)
