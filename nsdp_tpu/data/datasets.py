@@ -53,6 +53,15 @@ class Deform4DFlowDataset:
 
         self.all_deform_pairs: List[Dict] = []
         self.sample_deform_pairs: List[Dict] = []
+        # Per-frame file cache: deform pairs share frames heavily (every
+        # pair of a sequence reuses its canonical frame; stage-2 pairs all
+        # frame x frame combinations), and at stage-1 scale npz parsing is
+        # the input-pipeline bottleneck (scripts/bench_loader.py).  Cached
+        # entries are read-only by contract: __getitem__ only slices /
+        # subsamples into fresh arrays.  ``data.cache_frames`` caps the
+        # entry count (~10 MB/frame at reference scale); 0 disables.
+        self._frame_cache: Dict[str, Dict] = {}
+        self._frame_cache_cap = int(cfg["data"].get("cache_frames", 64))
         self._load()
 
     # -- split / pair-list construction --------------------------------------
@@ -142,6 +151,20 @@ class Deform4DFlowDataset:
     # -- per-frame file loading ----------------------------------------------
 
     def _load_data(self, data_dir: str) -> Dict:
+        cached = self._frame_cache.get(data_dir)
+        if cached is not None:
+            return cached
+        out = self._load_data_uncached(data_dir)
+        if self._frame_cache_cap > 0:
+            if len(self._frame_cache) >= self._frame_cache_cap:
+                # FIFO eviction: cheap, and frame reuse is long-range
+                # (canonical frames recur all epoch), so recency tracking
+                # buys little over plain rotation
+                self._frame_cache.pop(next(iter(self._frame_cache)))
+            self._frame_cache[data_dir] = out
+        return out
+
+    def _load_data_uncached(self, data_dir: str) -> Dict:
         dcfg = self.cfg["data"]
         orig2world, world2orig = T.load_norm_params(
             os.path.join(data_dir, dcfg["norm_params_file"])
@@ -367,7 +390,7 @@ class DeformUserhandleDataset(Deform4DFlowDataset):
         self.all_deform_pairs = pairs
         self._post_load()
 
-    def _load_data(self, data_dir: str) -> Dict:
+    def _load_data_uncached(self, data_dir: str) -> Dict:
         dcfg = self.cfg["data"]
         orig2world, world2orig = T.load_norm_params(
             os.path.join(data_dir, dcfg["norm_params_file"])

@@ -22,7 +22,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def bench_combo(dtype_key, fused, batch_size, K, n_rep=5):
+def bench_combo(dtype_key, fused, batch_size, K, n_rep=5,
+                model_type="forward"):
     import jax
     import jax.numpy as jnp
 
@@ -33,18 +34,24 @@ def bench_combo(dtype_key, fused, batch_size, K, n_rep=5):
     cfg = {
         "model": dict(
             FLAGSHIP_CONFIG["model"],
-            type="forward",
+            type=model_type,
             compute_dtype=dtype_key,
             fused_attention=fused,
         )
     }
     model = build_model(cfg)
     _, tx = optimizer_factory({"optimizer": "Adam", "lr": 5e-4})
-    steps = make_steps(model, "forward", tx)
+    steps = make_steps(model, model_type, tx)
 
     batch_np = _example_batch(B=batch_size, N=5000, Q=5000)
     batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
-    example = (batch["space_samples_src"], batch["surface_samples_inputs"])
+    if model_type == "arbitrary":
+        i = batch["surface_samples_inputs"]
+        example = (
+            batch["space_samples_src"], i[..., 0:3], i[..., 3:6], i[..., 6:7]
+        )
+    else:
+        example = (batch["space_samples_src"], batch["surface_samples_inputs"])
     state = create_train_state(model, jax.random.PRNGKey(0), example, tx)
 
     # un-jitted inner step for the on-device chain (the jitted train_step
@@ -54,7 +61,7 @@ def bench_combo(dtype_key, fused, batch_size, K, n_rep=5):
             s2, _ = steps["train_step"].__wrapped__(s, batch, 5e-4)
             return s2
         out = jax.lax.fori_loop(0, k, body, state)
-        return jnp.sum(out.params["decoder"]["fc_out"]["bias"])
+        return jnp.sum(jax.tree.leaves(out.params)[0])
 
     chain_j = jax.jit(chain, static_argnums=1)
 
@@ -79,6 +86,10 @@ def main(argv=None):
     )
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--k", type=int, default=8)
+    parser.add_argument(
+        "--model-type", default="forward",
+        choices=["forward", "backward", "arbitrary"],
+    )
     args = parser.parse_args(argv)
 
     results = {}
@@ -88,7 +99,10 @@ def main(argv=None):
         last_err = None
         for _ in range(3):  # tunnel is occasionally flaky
             try:
-                dt = bench_combo(dtype_key, fused, args.batch, args.k)
+                dt = bench_combo(
+                    dtype_key, fused, args.batch, args.k,
+                    model_type=args.model_type,
+                )
                 break
             except Exception as e:
                 last_err = e
@@ -98,7 +112,8 @@ def main(argv=None):
         results[combo] = dt
         print(json.dumps({
             "combo": combo, "step_ms": round(dt * 1e3, 1),
-            "batch": args.batch, "shapes": "N=5000 Q=5000 d=256",
+            "batch": args.batch, "model_type": args.model_type,
+            "shapes": "N=5000 Q=5000 d=256",
         }), flush=True)
     return results
 

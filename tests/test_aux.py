@@ -112,3 +112,35 @@ def test_encoder_intermediates_dump(tmp_path):
     assert d["Input"].shape == (32, 3)
     assert d["SetAbs0"].shape == (16, 3)
     assert d["fullPTB1"].shape == (8, 3)
+
+
+def test_arrow_flow_visualisations(tmp_path):
+    """Arrow-mesh flow dumps (reference ``utils/visualize.py:201-312``):
+    merged arrow meshes with jet colors, no open3d."""
+    from nsdp_tpu.utils.meshio import face_normals, save_mesh
+    from nsdp_tpu.utils.visualize import (
+        vis_flow_surface_arrow,
+        vis_flow_volume_arrow,
+    )
+
+    rng = np.random.RandomState(0)
+    pts = rng.randn(20, 3)
+    flow = rng.randn(20, 3) * 0.1
+    mask = (rng.rand(20) > 0.3).astype(np.float32)
+    verts, faces, colors = vis_flow_surface_arrow(pts, flow, mask)
+    n = int(mask.sum())
+    assert len(verts) == n * 32 and faces.max() == len(verts) - 1
+    assert colors.dtype == np.uint8 and len(colors) == len(verts)
+    assert np.isfinite(face_normals(verts, faces)).all()
+
+    vol_flow = rng.randn(4 ** 3, 3) * 0.05
+    vol_mask = rng.rand(4 ** 3) > 0.5
+    vv, ff, cc = vis_flow_volume_arrow(vol_flow, vol_mask, dim=4,
+                                       bbox_size=1.5)
+    assert len(vv) == int(vol_mask.sum()) * 32
+    # cell centres stay inside the bbox
+    assert np.abs(vv).max() < 0.75 + 0.15
+
+    p = str(tmp_path / "arrows.ply")
+    save_mesh(p, verts, faces, colors)
+    assert (tmp_path / "arrows.ply").stat().st_size > 0

@@ -202,6 +202,41 @@ class TestDeform4DDataset:
             inputs[:, 6:9], item["surface_samples_tgt"] * mask, atol=1e-6
         )
 
+    def test_frame_cache_equivalence(self, fixture):
+        """Items assembled from cached frames are identical to uncached
+        ones (cache entries are read-only by contract), and the cache obeys
+        its cap."""
+        cfg_on = self._cfg(fixture)
+        cfg_off = self._cfg(fixture)
+        cfg_off["data"]["cache_frames"] = 0
+        ds_on = Deform4DFlowDataset(
+            cfg_on, "identity_seen", "test_unseen_motions",
+            rng=np.random.RandomState(0),
+        )
+        ds_off = Deform4DFlowDataset(
+            cfg_off, "identity_seen", "test_unseen_motions",
+            rng=np.random.RandomState(0),
+        )
+        for i in range(min(4, len(ds_on))):
+            np.random.seed(i)  # unseeded global draws inside __getitem__
+            a = ds_on[i]
+            np.random.seed(i)
+            b = ds_off[i]
+            for k in a:
+                np.testing.assert_array_equal(
+                    np.asarray(a[k]), np.asarray(b[k]), err_msg=k
+                )
+        # second epoch hits the cache; results still identical
+        np.random.seed(0)
+        a2 = ds_on[0]
+        np.random.seed(0)
+        b2 = ds_off[0]
+        np.testing.assert_array_equal(
+            a2["surface_samples_inputs"], b2["surface_samples_inputs"]
+        )
+        assert len(ds_on._frame_cache) <= ds_on._frame_cache_cap
+        assert len(ds_off._frame_cache) == 0
+
     def test_loader_batching(self, fixture):
         cfg = self._cfg(fixture)
         ds = Deform4DFlowDataset(cfg, "identity_seen", "test_unseen_motions")
