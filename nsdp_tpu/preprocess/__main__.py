@@ -44,6 +44,16 @@ def main(argv=None):
         p.add_argument("--surface_count", type=int, default=100000)
         p.add_argument("--space_count", type=int, default=200000)
         p.add_argument("--seed", type=int, default=None)
+        p.add_argument(
+            "--make_watertight", action="store_true",
+            help="closed-manifold remesh before normalisation (the shell's "
+            "optional msh2df step, off by default upstream too)",
+        )
+        p.add_argument(
+            "--watertight_spacing", type=float, default=0.02,
+            help="SDF grid spacing for --make_watertight (msh2df -spacing; "
+            "cost ~ (extent/spacing)^3)",
+        )
 
     p = sub.add_parser("nocorr", help="normalisation-only (TOSCA / dogrec)")
     p.add_argument("--input_mesh_dir", required=True)
@@ -67,6 +77,8 @@ def main(argv=None):
             args.interval,
             args.filter_lst,
             n_jobs=args.max_threads,
+            make_watertight=args.make_watertight,
+            watertight_spacing=args.watertight_spacing,
         )
         print(f"normalised {n} frames")
         m = generate_flows(

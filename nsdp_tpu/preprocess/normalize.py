@@ -45,12 +45,17 @@ def normalization_matrix(
 
 
 def normalize_mesh_file(
-    mesh_path: str, out_dir: str, target_scale: float = 0.35
+    mesh_path: str, out_dir: str, target_scale: float = 0.35,
+    make_watertight: bool = False, watertight_spacing: float = 0.005,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Process one frame directory like ``process_mesh_local.sh``:
 
     copies the input to ``mesh_orig.<ext>``, writes the normalised mesh to
     ``model_normalized.obj`` and the transform to ``orig_to_gaps.txt``.
+    With ``make_watertight`` the mesh is first remeshed to a closed
+    manifold (``model_watertight.ply``, the shell's optional msh2df step at
+    ``process_mesh_local.sh:39-50``) and the normalisation is computed from
+    the watertight mesh, matching the shell's operand order.
     Returns (normalized verts, faces).
     """
     os.makedirs(out_dir, exist_ok=True)
@@ -60,6 +65,16 @@ def normalize_mesh_file(
         shutil.copyfile(mesh_path, orig_copy)
 
     verts, faces = meshio.load_mesh(mesh_path)
+    if make_watertight:
+        from nsdp_tpu.preprocess.watertight import watertight_mesh
+
+        verts, faces = watertight_mesh(
+            verts, faces, spacing=watertight_spacing
+        )
+        verts = verts.astype(np.float32)
+        meshio.save_mesh(
+            os.path.join(out_dir, "model_watertight.ply"), verts, faces
+        )
     mat = normalization_matrix(verts, target_scale)
     s = mat[0, 0]
     t = mat[:3, 3]
@@ -79,6 +94,8 @@ def normalize_mesh_directory(
     interval: int = 1,
     skip_existing: bool = True,
     target_scale: float = 0.35,
+    make_watertight: bool = False,
+    watertight_spacing: float = 0.005,
 ) -> int:
     """Normalise every ``interval``-th frame of one sequence directory.
 
@@ -97,7 +114,9 @@ def normalize_mesh_directory(
         if skip_existing and os.path.isfile(marker):
             continue
         normalize_mesh_file(
-            os.path.join(mesh_dir, fname), out_dir, target_scale
+            os.path.join(mesh_dir, fname), out_dir, target_scale,
+            make_watertight=make_watertight,
+            watertight_spacing=watertight_spacing,
         )
         count += 1
     return count

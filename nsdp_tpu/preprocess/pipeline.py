@@ -75,8 +75,17 @@ def generate_sequences(
     filter_lst: Optional[str] = None,
     skip_existing: bool = True,
     n_jobs: int = -1,
+    make_watertight: bool = False,
+    watertight_spacing: float = 0.005,
 ) -> int:
-    """Normalise every ``interval``-th frame of every sequence (stage 'seq')."""
+    """Normalise every ``interval``-th frame of every sequence (stage 'seq').
+
+    ``make_watertight`` runs the msh2df-equivalent closed-manifold remesh
+    before normalisation (off by default, like the reference's
+    ``process_mesh_local.sh:22``).  ``watertight_spacing`` is the SDF grid
+    resolution (reference flag ``-spacing 0.005``); cost scales with
+    (extent/spacing)^3 — the numpy implementation wants ~0.02-0.05 on
+    unit-scale meshes where GAPS's C++ used 0.005."""
     seqs = _sequence_dirs(mesh_directory, filter_lst)
     os.makedirs(dataset_directory, exist_ok=True)
     counts = Parallel(n_jobs=n_jobs)(
@@ -86,6 +95,8 @@ def generate_sequences(
             mesh_format,
             interval,
             skip_existing,
+            make_watertight=make_watertight,
+            watertight_spacing=watertight_spacing,
         )
         for seq in seqs
     )
