@@ -22,7 +22,21 @@ class DeformationService:
         weight_file: Optional[str] = None,
         buckets: Sequence[int] = (4096, 16384, 65536),
         warm: bool = False,
+        mesh=None,
+        use_fused: Optional[bool] = None,
+        interpret: Optional[bool] = None,
     ):
+        """Args beyond the obvious:
+
+        mesh: optional ('data','query') device mesh — the fused path is
+          shard_map-ped over it (queries split over 'query'; serve batch
+          must divide 'data', so build the mesh with data=1 for single-
+          request serving).  Query buckets are rounded up to a multiple of
+          the query axis.
+        use_fused: force the fused Pallas path on/off (default: auto —
+          fused on TPU for the flagship encoder/decoder pair).
+        interpret: run the Pallas kernels in interpreter mode (CPU tests).
+        """
         import jax
         import jax.numpy as jnp
 
@@ -54,11 +68,13 @@ class DeformationService:
         self.state = state
         variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-        use_fused = (
-            jax.default_backend() in ("tpu", "axon")
-            and config["model"]["decoder"] == "crossatten"
-            and config["model"]["encoder"] == "pointransformer"
-        )
+        if use_fused is None:
+            use_fused = (
+                jax.default_backend() in ("tpu", "axon")
+                and config["model"]["decoder"] == "crossatten"
+                and config["model"]["encoder"] == "pointransformer"
+            )
+        self._q_mult = int(mesh.shape["query"]) if mesh is not None else 1
         if use_fused:
             from nsdp_tpu.models.fast_predict import make_fast_predict
 
@@ -67,8 +83,15 @@ class DeformationService:
                 variables,
                 self.model_type,
                 nneigh=config["model"]["decoder_kwargs"].get("nneigh", 7),
+                interpret=bool(interpret),
+                mesh=mesh,
             )
         else:
+            if mesh is not None:
+                raise ValueError(
+                    "mesh-sharded serving requires the fused path "
+                    "(use_fused=True)"
+                )
             from nsdp_tpu.training import make_steps
 
             steps = make_steps(self.model, self.model_type, tx)
@@ -86,12 +109,18 @@ class DeformationService:
         return cls(config, **kwargs)
 
     def _bucket(self, q: int) -> int:
+        out = None
         for b in self.buckets:
             if q <= b:
-                return b
-        # round up to a multiple of the largest bucket
-        big = self.buckets[-1]
-        return ((q + big - 1) // big) * big
+                out = b
+                break
+        if out is None:
+            # round up to a multiple of the largest bucket
+            big = self.buckets[-1]
+            out = ((q + big - 1) // big) * big
+        # shard_map needs the query axis divisible by the mesh
+        m = self._q_mult
+        return ((out + m - 1) // m) * m
 
     def warmup(self, n_surface: int) -> None:
         """Pre-compile every bucket size for a given conditioning size."""

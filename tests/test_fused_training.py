@@ -100,3 +100,47 @@ def test_fused_train_step_matches_standard(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-4
         )
+
+
+def test_fused_arbitrary_train_step_matches_standard(rng):
+    """Custom-VJP gradients through the full 3-net FlowArbitrary
+    composition (the shipped stage-2 configs set fused_attention: true)."""
+    batch = _batch(rng)
+    pts = jnp.asarray(batch["space_samples_src"])
+    inputs = jnp.asarray(batch["surface_samples_inputs"])
+
+    base = dict(BASE, type="arbitrary")
+    m_std = build_model({"model": base})
+    m_fused = build_model({"model": dict(base, fused_attention=True)})
+    _, tx = optimizer_factory({"optimizer": "SGD", "lr": 1e-2, "momentum": 0.0})
+
+    args = (pts, inputs[..., 0:3], inputs[..., 3:6], inputs[..., 6:7])
+    variables = m_std.init(jax.random.PRNGKey(0), *args, train=False)
+    from nsdp_tpu.training.state import TrainState
+
+    def mk_state():
+        params = jax.tree.map(jnp.copy, variables["params"])
+        return TrainState(
+            params=params,
+            batch_stats=jax.tree.map(jnp.copy, variables["batch_stats"]),
+            opt_state=tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    steps_std = make_steps(m_std, "arbitrary", tx)
+    steps_fused = make_steps(m_fused, "arbitrary", tx)
+
+    s1, loss1 = steps_std["train_step"](mk_state(), batch, 1e-2)
+    s2, loss2 = steps_fused["train_step"](mk_state(), batch, 1e-2)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-2, atol=3e-4
+        )
+    # BN stats (incl. the stage-2 double-update compensation) agree too
+    for a, b in zip(
+        jax.tree.leaves(s1.batch_stats), jax.tree.leaves(s2.batch_stats)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+        )
