@@ -56,6 +56,56 @@ def _encoder_apply(net, variables, prefix, conditioning, interpret=False,
     )
 
 
+def make_fast_arbitrary_halves(
+    model, nneigh: int = 7, interpret: bool = False, compute_dtype=None,
+) -> Dict[str, Any]:
+    """The FlowArbitrary composition split at the canonical pose.
+
+    The backward (canonicalisation) half depends ONLY on the source surface
+    — in interactive editing the source is fixed while the user drags
+    handles, so a session runs ``canonicalize`` once and only ``deform``
+    per drag (the reference re-runs all three net passes every time,
+    ``model/flow_arbitrary.py:15-27``).  ``predict == deform ∘
+    canonicalize`` exactly; see ``serving.DeformationService.edit_session``.
+
+    Returns ``{'canonicalize': f(variables, points, surf_src) ->
+    (space_cano, surf_cano), 'deform': f(variables, space_cano, surf_cano,
+    surf_tgt, mask) -> deformed}`` (un-jitted impls; callers jit/shard).
+    """
+    bwd = model.model_canonicalize
+    fwd = model.model_deform
+
+    def canonicalize(variables, points, surf_src):
+        enc_b = _encoder_apply(
+            bwd, variables, "model_canonicalize", surf_src, interpret,
+            compute_dtype,
+        )
+        bwd_dec = variables["params"]["model_canonicalize"]["decoder"]
+        space_cano = decode_fast(
+            bwd_dec, points, enc_b, nneigh=nneigh, interpret=interpret,
+            compute_dtype=compute_dtype,
+        )
+        surf_cano = decode_fast(
+            bwd_dec, surf_src, enc_b, nneigh=nneigh, interpret=interpret,
+            compute_dtype=compute_dtype,
+        )
+        return space_cano, surf_cano
+
+    def deform(variables, space_cano, surf_cano, surf_tgt, mask):
+        conditioning = jnp.concatenate([surf_cano, surf_tgt, mask], axis=-1)
+        enc_f = _encoder_apply(
+            fwd, variables, "model_deform", conditioning, interpret,
+            compute_dtype,
+        )
+        return decode_fast(
+            variables["params"]["model_deform"]["decoder"], space_cano,
+            enc_f, nneigh=nneigh, interpret=interpret,
+            compute_dtype=compute_dtype,
+        )
+
+    return {"canonicalize": canonicalize, "deform": deform}
+
+
 def make_fast_predict(
     model, variables, model_type: str, nneigh: int = 7,
     interpret: bool = False, compute_dtype=None,
@@ -99,39 +149,20 @@ def make_fast_predict(
             )
 
     elif model_type == "arbitrary":
-        bwd = model.model_canonicalize
-        fwd = model.model_deform
+        halves = make_fast_arbitrary_halves(
+            model, nneigh=nneigh, interpret=interpret,
+            compute_dtype=compute_dtype,
+        )
 
         def predict_impl(variables, points, surface_samples_inputs):
             surf_src = surface_samples_inputs[:, :, 0:3]
             surf_tgt = surface_samples_inputs[:, :, 3:6]
             mask = surface_samples_inputs[:, :, 6:7]
-
-            enc_b = _encoder_apply(
-                bwd, variables, "model_canonicalize", surf_src, interpret,
-                compute_dtype,
+            space_cano, surf_cano = halves["canonicalize"](
+                variables, points, surf_src
             )
-            bwd_dec = variables["params"]["model_canonicalize"]["decoder"]
-            space_cano = decode_fast(
-                bwd_dec, points, enc_b, nneigh=nneigh, interpret=interpret,
-                compute_dtype=compute_dtype,
-            )
-            surf_cano = decode_fast(
-                bwd_dec, surf_src, enc_b, nneigh=nneigh, interpret=interpret,
-                compute_dtype=compute_dtype,
-            )
-
-            conditioning = jnp.concatenate(
-                [surf_cano, surf_tgt, mask], axis=-1
-            )
-            enc_f = _encoder_apply(
-                fwd, variables, "model_deform", conditioning, interpret,
-                compute_dtype,
-            )
-            return decode_fast(
-                variables["params"]["model_deform"]["decoder"], space_cano,
-                enc_f, nneigh=nneigh, interpret=interpret,
-                compute_dtype=compute_dtype,
+            return halves["deform"](
+                variables, space_cano, surf_cano, surf_tgt, mask
             )
 
     else:

@@ -75,6 +75,11 @@ class DeformationService:
                 and config["model"]["encoder"] == "pointransformer"
             )
         self._q_mult = int(mesh.shape["query"]) if mesh is not None else 1
+        self._variables = variables
+        self._use_fused = use_fused
+        self._interpret = bool(interpret)
+        self._mesh = mesh
+        self._halves = None  # built lazily by edit_session
         if use_fused:
             from nsdp_tpu.models.fast_predict import make_fast_predict
 
@@ -162,3 +167,136 @@ class DeformationService:
             )
         )[:, :q]
         return out[0] if squeeze else out
+
+    # -- interactive editing sessions -----------------------------------------
+
+    def _build_halves(self):
+        """Jitted canonicalize/deform halves (fused or flax path)."""
+        import jax
+        from functools import partial
+
+        if self._use_fused:
+            from nsdp_tpu.models.fast_predict import make_fast_arbitrary_halves
+
+            impls = make_fast_arbitrary_halves(
+                self.model,
+                nneigh=self.config["model"]["decoder_kwargs"].get("nneigh", 7),
+                interpret=self._interpret,
+            )
+            cano_impl, deform_impl = impls["canonicalize"], impls["deform"]
+        else:
+            model = self.model
+
+            def cano_impl(variables, points, surf_src):
+                def method(m, points, surf, train):
+                    enc = m.model_canonicalize.encode(surf, train=train)
+                    return (
+                        m.model_canonicalize.decode(points, enc, train=train),
+                        m.model_canonicalize.decode(surf, enc, train=train),
+                    )
+
+                return model.apply(
+                    variables, points, surf_src, False, method=method
+                )
+
+            def deform_impl(variables, space_cano, surf_cano, surf_tgt, mask):
+                def method(m, sc, su, tgt, msk, train):
+                    cond = self._jnp.concatenate([su, tgt, msk], axis=-1)
+                    return m.model_deform(sc, cond, train=train)
+
+                return model.apply(
+                    variables, space_cano, surf_cano, surf_tgt, mask, False,
+                    method=method,
+                )
+
+        if self._mesh is not None:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            cano_impl = shard_map(
+                cano_impl, mesh=self._mesh,
+                in_specs=(P(), P("data", "query"), P("data")),
+                out_specs=(P("data", "query"), P("data")),
+                check_rep=False,
+            )
+            deform_impl = shard_map(
+                deform_impl, mesh=self._mesh,
+                in_specs=(P(), P("data", "query"), P("data"), P("data"),
+                          P("data")),
+                out_specs=P("data", "query"),
+                check_rep=False,
+            )
+        return (
+            jax.jit(partial(cano_impl, self._variables)),
+            jax.jit(partial(deform_impl, self._variables)),
+        )
+
+    def edit_session(
+        self, points: np.ndarray, surface_samples_src: np.ndarray
+    ) -> "EditSession":
+        """Open an interactive editing session over a fixed source shape.
+
+        The canonicalisation half (backward net: encode the source surface,
+        canonicalise the query points and the surface) depends only on the
+        source, so it runs ONCE here; each handle drag afterwards re-runs
+        only the forward half — about half the full evaluation (the
+        reference re-runs all three net passes per drag,
+        ``model/flow_arbitrary.py:15-27``).
+
+        Args:
+          points: (Q, 3) query positions to deform at every drag (e.g. the
+            mesh vertices).
+          surface_samples_src: (N, 3) source surface samples.
+        """
+        if self.model_type != "arbitrary":
+            raise ValueError(
+                "edit sessions need the 'arbitrary' composition "
+                f"(got {self.model_type!r})"
+            )
+        if self._halves is None:
+            self._halves = self._build_halves()
+        cano_fn, _ = self._halves
+        jnp = self._jnp
+        q = points.shape[0]
+        target = self._bucket(q)
+        padded = np.concatenate(
+            [points, np.zeros((target - q, 3), points.dtype)], axis=0
+        )
+        space_cano, surf_cano = cano_fn(
+            jnp.asarray(padded, jnp.float32)[None],
+            jnp.asarray(surface_samples_src, jnp.float32)[None],
+        )
+        return EditSession(self, space_cano, surf_cano, q)
+
+
+class EditSession:
+    """Precomputed canonicalisation + per-drag forward evaluation."""
+
+    def __init__(self, service, space_cano, surf_cano, q):
+        self._service = service
+        self._space_cano = space_cano
+        self._surf_cano = surf_cano
+        self._q = q
+
+    def drag(self, surface_samples_tgt, handle_mask) -> np.ndarray:
+        """Deform the session's query points toward a (partial) target.
+
+        Args:
+          surface_samples_tgt: (N, 3) masked target positions (zeros
+            outside the handle, like ``surface_samples_inputs[:, 3:6]``).
+          handle_mask: (N, 1) or (N,) handle indicator.
+
+        Returns:
+          (Q, 3) deformed query positions.
+        """
+        svc = self._service
+        _, deform_fn = svc._halves
+        jnp = svc._jnp
+        mask = np.asarray(handle_mask, np.float32).reshape(-1, 1)
+        out = deform_fn(
+            self._space_cano,
+            self._surf_cano,
+            jnp.asarray(surface_samples_tgt, jnp.float32)[None],
+            jnp.asarray(mask)[None],
+        )
+        return np.asarray(out)[0, : self._q]

@@ -72,3 +72,75 @@ def test_service_mesh_sharded_matches_single(rng):
 
     with pytest.raises(ValueError, match="fused"):
         DeformationService(cfg, use_fused=False, mesh=mesh)
+
+
+def _tiny_arbitrary_cfg():
+    m = dict(CFG["model"])
+    m["type"] = "arbitrary"
+    return {"model": m, "training": {"optimizer": "Adam", "lr": 1e-3}}
+
+
+def _session_inputs(rng, n=32, q=50):
+    surf = rng.randn(n, 3).astype(np.float32)
+    tgt = rng.randn(n, 3).astype(np.float32)
+    mask = (rng.rand(n, 1) > 0.5).astype(np.float32)
+    pts = rng.randn(q, 3).astype(np.float32)
+    return pts, surf, tgt * mask, mask
+
+
+import pytest
+
+
+@pytest.mark.parametrize("fused", [True, False])
+def test_edit_session_matches_full_deform(rng, fused):
+    """session.drag == full deform with the same conditioning: the split at
+    the canonical pose is exact (canonicalisation reused across drags)."""
+    from nsdp_tpu.parallel import make_mesh
+
+    svc = DeformationService(
+        _tiny_arbitrary_cfg(), buckets=(64,), use_fused=fused, interpret=True
+    )
+    pts, surf, tgt_masked, mask = _session_inputs(rng)
+    inputs = np.concatenate([surf, tgt_masked, mask], -1)
+    full = svc.deform(pts, inputs)
+
+    session = svc.edit_session(pts, surf)
+    dragged = session.drag(tgt_masked, mask)
+    np.testing.assert_allclose(dragged, full, rtol=1e-4, atol=1e-4)
+
+    # a second drag with a different target reuses the canonicalisation
+    tgt2 = tgt_masked * 0.5
+    full2 = svc.deform(pts, np.concatenate([surf, tgt2, mask], -1))
+    np.testing.assert_allclose(
+        session.drag(tgt2, mask), full2, rtol=1e-4, atol=1e-4
+    )
+
+
+def test_edit_session_mesh_sharded(rng):
+    from nsdp_tpu.parallel import make_mesh
+
+    mesh = make_mesh(data=1, query=8)
+    svc = DeformationService(
+        _tiny_arbitrary_cfg(), buckets=(64,), use_fused=True,
+        interpret=True, mesh=mesh,
+    )
+    pts, surf, tgt_masked, mask = _session_inputs(rng)
+    inputs = np.concatenate([surf, tgt_masked, mask], -1)
+    full = svc.deform(pts, inputs)
+    session = svc.edit_session(pts, surf)
+    np.testing.assert_allclose(
+        session.drag(tgt_masked, mask), full, rtol=1e-4, atol=1e-4
+    )
+
+
+def test_edit_session_requires_arbitrary():
+    cfg = {
+        "model": dict(CFG["model"], type="forward"),
+        "training": {"optimizer": "Adam", "lr": 1e-3},
+    }
+    svc = DeformationService(cfg, buckets=(64,), use_fused=False)
+    import pytest
+
+    with pytest.raises(ValueError, match="arbitrary"):
+        svc.edit_session(np.zeros((4, 3), np.float32),
+                         np.zeros((8, 3), np.float32))
