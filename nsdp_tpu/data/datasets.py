@@ -272,10 +272,28 @@ class Deform4DFlowDataset:
             keep = T.partial_shape_indices(
                 s_src, handle, dcfg["partial_shape_ratio"], rng=self.rng
             )
-            inputs = inputs[keep]
-            s_cano, s_src, s_tgt = s_cano[keep], s_src[keep], s_tgt[keep]
-            n_cano, n_src, n_tgt = n_cano[keep], n_src[keep], n_tgt[keep]
-            handle = handle[keep]
+            if dcfg.get("pad_partial_shapes", False):
+                # TPU static-shape variant: surviving rows are compacted to
+                # the front and zero-padded back to num_surf_samples (padded
+                # rows sit at the origin, which FPS never selects), with a
+                # prefix validity mask the model uses to exclude them from
+                # kNN and BatchNorm statistics — partial shapes collate at
+                # any batch size.  The reference's variable-size items only
+                # collate at batch 1.
+                n = len(s_src)
+                pad = T.compact_pad(keep, n)
+                inputs = pad(inputs)
+                s_cano, s_src, s_tgt = pad(s_cano), pad(s_src), pad(s_tgt)
+                n_cano, n_src, n_tgt = pad(n_cano), pad(n_src), pad(n_tgt)
+                handle = pad(handle)
+                valid = np.zeros((n,), np.float32)
+                valid[: len(keep)] = 1.0
+                out["surface_valid_mask"] = valid
+            else:
+                inputs = inputs[keep]
+                s_cano, s_src, s_tgt = s_cano[keep], s_src[keep], s_tgt[keep]
+                n_cano, n_src, n_tgt = n_cano[keep], n_src[keep], n_tgt[keep]
+                handle = handle[keep]
 
         out["surface_samples_cano"] = s_cano
         out["surface_samples_src"] = s_src
@@ -443,9 +461,20 @@ class DeformUserhandleDataset(Deform4DFlowDataset):
             keep = T.partial_shape_indices(
                 s_src, handle, dcfg["partial_shape_ratio"], rng=self.rng
             )
-            inputs = inputs[keep]
-            s_cano, s_src, s_tgt = s_cano[keep], s_src[keep], s_tgt[keep]
-            handle = handle[keep]
+            if dcfg.get("pad_partial_shapes", False):
+                # static-shape variant, see Deform4DFlow_Dataset.__getitem__
+                n = len(s_src)
+                pad = T.compact_pad(keep, n)
+                inputs = pad(inputs)
+                s_cano, s_src, s_tgt = pad(s_cano), pad(s_src), pad(s_tgt)
+                handle = pad(handle)
+                valid = np.zeros((n,), np.float32)
+                valid[: len(keep)] = 1.0
+                out["surface_valid_mask"] = valid
+            else:
+                inputs = inputs[keep]
+                s_cano, s_src, s_tgt = s_cano[keep], s_src[keep], s_tgt[keep]
+                handle = handle[keep]
 
         out["surface_samples_cano"] = s_cano
         out["surface_samples_src"] = s_src

@@ -132,6 +132,24 @@ def partial_shape_indices(
     return np.array(sorted(keep))
 
 
+def compact_pad(keep: np.ndarray, n: int):
+    """Row compactor for static-shape partial point clouds.
+
+    Returns a function that moves ``keep``'s rows of an (n, ...) array to
+    the front and zero-fills the rest — padded coordinate rows land on the
+    origin, which FPS never selects (reference CUDA kernel's
+    ``||p||^2 <= 1e-3`` skip); downstream masking is the caller's contract
+    (see ``surface_valid_mask``).
+    """
+
+    def pad(a: np.ndarray) -> np.ndarray:
+        out = np.zeros((n,) + a.shape[1:], dtype=a.dtype)
+        out[: len(keep)] = a[keep]
+        return out
+
+    return pad
+
+
 def user_defined_handles(
     userhandle_cfg: Dict,
     verts_cano: np.ndarray,

@@ -57,7 +57,13 @@ class DeformationNetwork(fnn.Module):
     no_input_corr: bool = False
     use_normals: bool = False
 
-    def encode(self, surface_samples_inputs, train: bool = False):
+    def encode(self, surface_samples_inputs, train: bool = False,
+               point_mask=None):
+        """``point_mask`` (B, N) nonzero = real conditioning point —
+        static-shape partial point clouds (``data.pad_partial_shapes``):
+        padded rows must be zero (the origin, which FPS never selects);
+        the mask removes them from kNN neighbourhoods and full-resolution
+        BatchNorm statistics."""
         if self.no_input_corr:
             # backward net: xyz only, or xyz + source normals (see module
             # docstring for the use_normals channel contract)
@@ -67,14 +73,18 @@ class DeformationNetwork(fnn.Module):
             conditioning = surface_samples_inputs
         # `train` passed positionally: it is a remat static_argnum when the
         # encoder/decoder are nn.remat-wrapped (kwargs are not supported).
-        return self.encoder(conditioning, train)
+        return self.encoder(conditioning, train, point_mask)
 
     def decode(self, points, encoding, train: bool = False):
         return self.decoder(points, encoding, train)
 
-    def __call__(self, points, surface_samples_inputs, train: bool = False):
+    def __call__(self, points, surface_samples_inputs, train: bool = False,
+                 point_mask=None):
         return self.decode(
-            points, self.encode(surface_samples_inputs, train=train), train=train
+            points,
+            self.encode(surface_samples_inputs, train=train,
+                        point_mask=point_mask),
+            train=train,
         )
 
 
@@ -110,9 +120,10 @@ class FlowArbitrary(fnn.Module):
         surface_samples_tgt,
         cano_handle_sample_mask,
         train: bool = False,
+        point_mask=None,
     ):
         cano_encoding = self.model_canonicalize.encode(
-            surface_samples_src, train=train
+            surface_samples_src, train=train, point_mask=point_mask
         )
         space_cano = self.model_canonicalize.decode(
             space_samples_src, cano_encoding, train=train
@@ -120,8 +131,17 @@ class FlowArbitrary(fnn.Module):
         surface_cano = self.model_canonicalize.decode(
             surface_samples_src, cano_encoding, train=train
         )
+        if point_mask is not None:
+            # Padded surface rows decode to garbage positions; re-zero them
+            # so the forward net's conditioning keeps its padding at the
+            # origin (where FPS skips it) and the mask stays meaningful.
+            surface_cano = surface_cano * point_mask[..., None].astype(
+                surface_cano.dtype
+            )
         conditioning = jnp.concatenate(
             [surface_cano, surface_samples_tgt, cano_handle_sample_mask],
             axis=-1,
         )
-        return self.model_deform(space_cano, conditioning, train=train)
+        return self.model_deform(
+            space_cano, conditioning, train=train, point_mask=point_mask
+        )

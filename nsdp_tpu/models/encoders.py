@@ -47,7 +47,14 @@ class PointTransformerEncoder(fnn.Module):
     fused: bool = False  # differentiable Pallas attention for kNN blocks
 
     @fnn.compact
-    def __call__(self, xyz, train: bool = False):
+    def __call__(self, xyz, train: bool = False, point_mask=None):
+        # ``point_mask`` (B, N) nonzero = real point: static-shape partial
+        # point clouds (padded rows sit at the origin, where FPS never
+        # selects them; the mask removes them from kNN neighbourhoods and
+        # from the full-resolution BatchNorm statistics).  After the first
+        # TransitionDown every surviving point is real, so the mask only
+        # touches the full-resolution stages.
+        #
         # Debug hook (reference ``pointransformer.py:96-135``
         # intermediate_out_path): per-level anchor clouds are sown into the
         # 'intermediates' collection; apply with
@@ -67,7 +74,7 @@ class PointTransformerEncoder(fnn.Module):
                 dtype=self.dtype,
                 fused=self.fused,
                 name="transformer_begin",
-            )(xyz, feats_in, train)
+            )(xyz, feats_in, train, point_mask)
         else:
             feats = TransformerBlock(
                 self.d_reduced,
@@ -76,7 +83,7 @@ class PointTransformerEncoder(fnn.Module):
                 dtype=self.dtype,
                 fused=self.fused,
                 name="transformer_begin",
-            )(xyz, None, train)
+            )(xyz, None, train, point_mask)
 
         n_levels = len(self.npoints_per_layer) - 1
         for i in range(n_levels):
@@ -92,7 +99,7 @@ class PointTransformerEncoder(fnn.Module):
                 dtype=self.dtype,
                 fused=self.fused,
                 name=f"transition_downs_{i}",
-            )(xyz, feats, train)
+            )(xyz, feats, train, point_mask if i == 0 else None)
             self.sow("intermediates", f"SetAbs{i}", xyz)
             feats = ElementwiseMLP(
                 dim, dtype=self.dtype, name=f"elementwise_extras_{i}"
@@ -171,7 +178,7 @@ class PointNetPlusPlusEncoder(fnn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @fnn.compact
-    def __call__(self, xyz, train: bool = False):
+    def __call__(self, xyz, train: bool = False, point_mask=None):
         if self.has_features:
             feats = TwoLayerMLP(
                 self.d_transformer, dtype=self.dtype, name="fc_begin"
@@ -192,7 +199,7 @@ class PointNetPlusPlusEncoder(fnn.Module):
                 sa_type="maxpool",
                 dtype=self.dtype,
                 name=f"transition_downs_{i}",
-            )(xyz, feats, train)
+            )(xyz, feats, train, point_mask if i == 0 else None)
             feats = ElementwiseMLP(
                 self.d_transformer, dtype=self.dtype, name=f"elementwise_{i}"
             )(feats, train)

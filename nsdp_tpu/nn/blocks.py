@@ -102,7 +102,7 @@ class _TorchExactBatchNorm(fnn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @fnn.compact
-    def __call__(self, x, use_running_average: bool):
+    def __call__(self, x, use_running_average: bool, mask=None):
         feat = x.shape[-1]
         scale = self.param("scale", fnn.initializers.ones_init(), (feat,),
                            jnp.float32)
@@ -119,13 +119,23 @@ class _TorchExactBatchNorm(fnn.Module):
             mean, var = ra_mean.value, ra_var.value
         else:
             xf = x.astype(jnp.float32)
-            mean = jnp.mean(xf, axis=reduce_axes)
-            var = jnp.mean(jnp.square(xf - mean), axis=reduce_axes)
-            if not self.is_initializing():
+            if mask is None:
+                mean = jnp.mean(xf, axis=reduce_axes)
+                var = jnp.mean(jnp.square(xf - mean), axis=reduce_axes)
                 n = 1
                 for a in reduce_axes:
                     n *= x.shape[a]
-                unbiased = var * (n / max(n - 1, 1))
+                n = jnp.float32(n)
+            else:
+                # statistics over valid rows only (static-shape partial
+                # point clouds): weighted mean/var, Bessel over the valid
+                # count — equals torch BN run on the compacted rows.
+                w = mask.astype(jnp.float32)[..., None]  # (..., 1)
+                n = jnp.maximum(jnp.sum(w), 1.0)
+                mean = jnp.sum(xf * w, axis=reduce_axes) / n
+                var = jnp.sum(jnp.square(xf - mean) * w, axis=reduce_axes) / n
+            if not self.is_initializing():
+                unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
                 m = self.momentum
                 ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
                 ra_var.value = m * ra_var.value + (1.0 - m) * unbiased
@@ -140,13 +150,13 @@ class BatchNorm(fnn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @fnn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, mask=None):
         return _TorchExactBatchNorm(
             momentum=BN_MOMENTUM,
             epsilon=1e-5,
             dtype=self.dtype,
             name="bn",
-        )(x, use_running_average=not train)
+        )(x, use_running_average=not train, mask=mask)
 
 
 def vector_attention(query, key, value, pos_enc, value_pos_enc, gamma_mlp):
@@ -190,8 +200,13 @@ class TransformerBlock(fnn.Module):
     fused: bool = False  # differentiable Pallas attention (TPU; f32)
 
     @fnn.compact
-    def __call__(self, xyz, feats=None, train: bool = False):
+    def __call__(self, xyz, feats=None, train: bool = False, kv_mask=None):
         B, n, _ = xyz.shape
+        if kv_mask is not None and self.group_all:
+            raise ValueError(
+                "kv_mask is only supported for kNN attention (full "
+                "self-attention runs post-downsampling on real points)"
+            )
 
         if self.fused and not self.group_all:
             from nsdp_tpu.ops.attention_pallas import knn_vector_attention
@@ -201,16 +216,17 @@ class TransformerBlock(fnn.Module):
             kk = min(self.k, n)
             if self.pos_only:
                 res = knn_vector_attention(
-                    xyz, xyz, None, None, None, None, None, *dw, *gw, kk
+                    xyz, xyz, None, None, None, None, None, kv_mask,
+                    *dw, *gw, kk
                 )
             else:
                 q = fnn.Dense(self.d_model, use_bias=False, name="w_qs")(feats)
                 k_ = fnn.Dense(self.d_model, use_bias=False, name="w_ks")(feats)
                 v = fnn.Dense(self.d_model, use_bias=False, name="w_vs")(feats)
                 res = knn_vector_attention(
-                    xyz, xyz, q, k_, v, None, None, *dw, *gw, kk
+                    xyz, xyz, q, k_, v, None, None, kv_mask, *dw, *gw, kk
                 ) + feats
-            return BatchNorm(dtype=self.dtype, name="bn")(res, train)
+            return BatchNorm(dtype=self.dtype, name="bn")(res, train, kv_mask)
 
         fc_delta = TwoLayerMLP(self.d_model, dtype=self.dtype, name="fc_delta")
         fc_gamma = TwoLayerMLP(self.d_model, dtype=self.dtype, name="fc_gamma")
@@ -227,6 +243,7 @@ class TransformerBlock(fnn.Module):
                 jax.lax.stop_gradient(xyz),
                 jax.lax.stop_gradient(xyz),
                 min(self.k, n),
+                kv_mask=kv_mask,
             )
             knn_xyz = index_points(xyz, idx)
             gather = lambda t: index_points(t, idx)
@@ -241,7 +258,7 @@ class TransformerBlock(fnn.Module):
             k = gather(fnn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="w_ks")(feats))
             v = gather(fnn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="w_vs")(feats))
             res = vector_attention(q, k, v, pos_enc, pos_enc, fc_gamma) + feats
-        return BatchNorm(dtype=self.dtype, name="bn")(res, train)
+        return BatchNorm(dtype=self.dtype, name="bn")(res, train, kv_mask)
 
 
 class ElementwiseMLP(fnn.Module):
@@ -280,10 +297,16 @@ class TransformerSetAbstraction(fnn.Module):
     fused: bool = False  # differentiable Pallas attention (TPU; f32)
 
     @fnn.compact
-    def __call__(self, xyz, points, train: bool = False):
+    def __call__(self, xyz, points, train: bool = False, kv_mask=None):
         B = xyz.shape[0]
         xyz_ng = jax.lax.stop_gradient(xyz)
-        fps_idx = furthest_point_sample(xyz_ng, self.npoint)
+        if kv_mask is None:
+            fps_xyz = xyz_ng
+        else:
+            # Masked points are zeroed to the origin, which FPS never selects
+            # (the reference CUDA kernel's ||p||^2 <= 1e-3 skip, see ops/fps).
+            fps_xyz = xyz_ng * kv_mask[..., None].astype(xyz_ng.dtype)
+        fps_idx = furthest_point_sample(fps_xyz, self.npoint)
         new_xyz = index_points(xyz, fps_idx)
 
         dense = lambda name: fnn.Dense(
@@ -304,7 +327,7 @@ class TransformerSetAbstraction(fnn.Module):
             res1 = knn_vector_attention(
                 -new_xyz, -xyz, q1,
                 dense("w_ks")(points), dense("w_vs")(points),
-                None, None, *dw, *g1w, kk,
+                None, None, kv_mask, *dw, *g1w, kk,
             )
             h = fnn.Dense(self.dim, dtype=self.dtype, name="conv1")(res1)
             h = fnn.relu(BatchNorm(dtype=self.dtype, name="bn1")(h, train))
@@ -316,7 +339,7 @@ class TransformerSetAbstraction(fnn.Module):
             res2 = knn_vector_attention(
                 -new_xyz, -xyz, q2,
                 dense("w_ks2")(points), dense("w_vs2")(points),
-                None, None, *dw, *g2w, kk,
+                None, None, kv_mask, *dw, *g2w, kk,
             )
             new_points = BatchNorm(dtype=self.dtype, name="bnorm1")(
                 res1 + res2, train
@@ -327,7 +350,10 @@ class TransformerSetAbstraction(fnn.Module):
             )
             return new_xyz, new_points
 
-        idx = knn(jax.lax.stop_gradient(new_xyz), xyz_ng, self.nneigh)
+        idx = knn(
+            jax.lax.stop_gradient(new_xyz), xyz_ng, self.nneigh,
+            kv_mask=kv_mask,
+        )
 
         fc_delta1 = TwoLayerMLP(self.dim, dtype=self.dtype, name="fc_delta1")
         fc_gamma1 = TwoLayerMLP(self.dim, dtype=self.dtype, name="fc_gamma1")
@@ -372,21 +398,28 @@ class PointNetSetAbstraction(fnn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @fnn.compact
-    def __call__(self, xyz, points, train: bool = False):
+    def __call__(self, xyz, points, train: bool = False, kv_mask=None):
         xyz_ng = jax.lax.stop_gradient(xyz)
-        fps_idx = furthest_point_sample(xyz_ng, self.npoint)
+        if kv_mask is None:
+            fps_xyz = xyz_ng
+        else:
+            fps_xyz = xyz_ng * kv_mask[..., None].astype(xyz_ng.dtype)
+        fps_idx = furthest_point_sample(fps_xyz, self.npoint)
         new_xyz = index_points(xyz, fps_idx)
 
         points = fnn.Dense(self.dim, dtype=self.dtype, name="fc1")(points)
         points_ori = index_points(points, fps_idx)
 
         h = fnn.Dense(self.dim, dtype=self.dtype, name="conv1")(points)
-        h = fnn.relu(BatchNorm(dtype=self.dtype, name="bn1")(h, train))
+        h = fnn.relu(BatchNorm(dtype=self.dtype, name="bn1")(h, train, kv_mask))
         h = fnn.Dense(self.dim, dtype=self.dtype, name="conv2")(h)
-        h = fnn.relu(BatchNorm(dtype=self.dtype, name="bn2")(h, train))
+        h = fnn.relu(BatchNorm(dtype=self.dtype, name="bn2")(h, train, kv_mask))
         points = points + h
 
-        idx = knn(jax.lax.stop_gradient(new_xyz), xyz_ng, self.nneigh)
+        idx = knn(
+            jax.lax.stop_gradient(new_xyz), xyz_ng, self.nneigh,
+            kv_mask=kv_mask,
+        )
         grouped = index_points(points, idx)
         new_points = points_ori + jnp.max(grouped, axis=2)
         new_points = BatchNorm(dtype=self.dtype, name="bn")(new_points, train)
@@ -407,7 +440,7 @@ class TransitionDown(fnn.Module):
     fused: bool = False
 
     @fnn.compact
-    def __call__(self, xyz, points, train: bool = False):
+    def __call__(self, xyz, points, train: bool = False, kv_mask=None):
         if self.sa_type == "attentive":
             sa = TransformerSetAbstraction(
                 self.npoint, self.nneigh, self.dim, dtype=self.dtype,
@@ -419,7 +452,7 @@ class TransitionDown(fnn.Module):
             )
         else:
             raise ValueError(f"unknown set abstraction type {self.sa_type!r}")
-        return sa(xyz, points, train)
+        return sa(xyz, points, train, kv_mask)
 
 
 class CrossTransformerBlock(fnn.Module):
@@ -459,7 +492,7 @@ class CrossTransformerBlock(fnn.Module):
             res = knn_vector_attention(
                 xyz_q, xyz, qf,
                 dense("w_ks")(points), dense("w_vs")(points),
-                k_glob, v_glob, *dw, *gw,
+                k_glob, v_glob, None, *dw, *gw,
                 min(self.nneigh, xyz.shape[1]),
             )
             if not self.reduce_dim:

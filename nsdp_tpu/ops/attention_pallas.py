@@ -75,7 +75,10 @@ def _attn_kernel(
         V_a = v_ref[0]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (T, M), 1)
-    d2 = jnp.zeros((T, M), _F32)
+    # Row 3 of the transposed kv layout carries the optional kv_mask
+    # distance penalty (zero when unmasked) — masked points lose every
+    # neighbourhood selection but cost no extra kernel input.
+    d2 = jnp.broadcast_to(kvt[3, :].reshape(1, M), (T, M))
     for c in range(3):
         diff = xyzq[:, c : c + 1] - kvt[c, :].reshape(1, M)
         d2 = d2 + diff * diff
@@ -396,6 +399,7 @@ def fused_vector_attention(
     v_glob: Optional[jax.Array] = None,
     return_idx: bool = False,
     compute_dtype=None,
+    kv_mask: Optional[jax.Array] = None,
 ):
     """Fused kNN vector attention (pre-residual, pre-norm).
 
@@ -409,6 +413,9 @@ def fused_vector_attention(
       k_glob / v_glob: optional (B, D) global-token key/value (an extra
         softmax slot with zero position encoding — the decoder
         CrossTransformerBlock pattern; requires q_feats).
+      kv_mask: optional (B, M), nonzero = selectable.  Masked kv points are
+        never chosen as neighbours (static-shape partial point clouds); the
+        caller guarantees at least k selectable points per batch element.
 
     Returns:
       (B, Nq, D) float32.
@@ -437,6 +444,12 @@ def fused_vector_attention(
         jnp.swapaxes(kv_xyz.astype(_F32), 1, 2),
         ((0, 0), (0, 5), (0, m_pad - M)),
     )
+    if kv_mask is not None:
+        # finite penalty (not inf: keeps the d2 == min comparison exact)
+        # that dwarfs any real squared distance
+        penalty = jnp.where(kv_mask != 0, 0.0, 1e30).astype(_F32)
+        penalty = jnp.pad(penalty, ((0, 0), (0, m_pad - M)))
+        kvt = kvt.at[:, 3, :].set(penalty)
     kvxyz = jnp.pad(kv_xyz.astype(_F32), ((0, 0), (0, m_pad - M), (0, 5)))
     if pos_only:
         qf = jnp.zeros((B, q_pad, 1), _F32)
@@ -672,29 +685,31 @@ def _fused_attention_bwd(
     return grads
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17))
+@partial(jax.custom_vjp, nondiff_argnums=(16, 17, 18))
 def knn_vector_attention(
-    xyz_q, kv_xyz, q_feats, K_a, V_a, k_glob, v_glob,
+    xyz_q, kv_xyz, q_feats, K_a, V_a, k_glob, v_glob, kv_mask,
     delta_w0, delta_b0, delta_w1, delta_b1,
     gamma_w0, gamma_b0, gamma_w1, gamma_b1,
     k: int, tile: int = 128, interpret: bool = None,
 ):
     """Differentiable fused kNN vector attention (custom VJP, both passes in
     Pallas).  Same semantics as :func:`fused_vector_attention` (optionally
-    with the global-token extra slot when ``k_glob``/``v_glob`` are given);
-    gradients match the gather-based XLA formulation (kNN indices are
-    constants, as in the reference's ``no_grad`` neighbourhood search)."""
+    with the global-token extra slot when ``k_glob``/``v_glob`` are given,
+    and/or a ``kv_mask`` excluding kv points from selection); gradients match
+    the gather-based XLA formulation (kNN indices are constants, as in the
+    reference's ``no_grad`` neighbourhood search — the mask only shapes that
+    constant selection, so the backward pass is unchanged)."""
     return fused_vector_attention(
         xyz_q, kv_xyz, q_feats, K_a, V_a,
         delta_w0, delta_b0, delta_w1, delta_b1,
         gamma_w0, gamma_b0, gamma_w1, gamma_b1,
         k=k, tile=tile, interpret=interpret,
-        k_glob=k_glob, v_glob=v_glob,
+        k_glob=k_glob, v_glob=v_glob, kv_mask=kv_mask,
     )
 
 
 def _kva_fwd(
-    xyz_q, kv_xyz, q_feats, K_a, V_a, k_glob, v_glob,
+    xyz_q, kv_xyz, q_feats, K_a, V_a, k_glob, v_glob, kv_mask,
     delta_w0, delta_b0, delta_w1, delta_b1,
     gamma_w0, gamma_b0, gamma_w1, gamma_b1,
     k, tile, interpret,
@@ -704,10 +719,10 @@ def _kva_fwd(
         delta_w0, delta_b0, delta_w1, delta_b1,
         gamma_w0, gamma_b0, gamma_w1, gamma_b1,
         k=k, tile=tile, interpret=interpret,
-        k_glob=k_glob, v_glob=v_glob, return_idx=True,
+        k_glob=k_glob, v_glob=v_glob, kv_mask=kv_mask, return_idx=True,
     )
     residuals = (
-        xyz_q, kv_xyz, q_feats, K_a, V_a, k_glob, v_glob,
+        xyz_q, kv_xyz, q_feats, K_a, V_a, k_glob, v_glob, kv_mask,
         delta_w0, delta_b0, delta_w1, delta_b1,
         gamma_w0, gamma_b0, gamma_w1, gamma_b1, idx,
     )
@@ -715,7 +730,7 @@ def _kva_fwd(
 
 
 def _kva_bwd(k, tile, interpret, residuals, g):
-    (xyz_q, kv_xyz, q_feats, K_a, V_a, k_glob, v_glob,
+    (xyz_q, kv_xyz, q_feats, K_a, V_a, k_glob, v_glob, kv_mask,
      delta_w0, delta_b0, delta_w1, delta_b1,
      gamma_w0, gamma_b0, gamma_w1, gamma_b1, idx) = residuals
     grads = _fused_attention_bwd(
@@ -728,8 +743,9 @@ def _kva_bwd(k, tile, interpret, residuals, g):
     (dxyzq, dkvxyz, dq, dK, dV,
      ddw0, ddb0, ddw1, ddb1, dgw0, dgb0, dgw1, dgb1,
      dk_glob, dv_glob) = grads
+    dkv_mask = None if kv_mask is None else jnp.zeros_like(kv_mask)
     return (
-        dxyzq, dkvxyz, dq, dK, dV, dk_glob, dv_glob,
+        dxyzq, dkvxyz, dq, dK, dV, dk_glob, dv_glob, dkv_mask,
         ddw0, ddb0, ddw1, ddb1, dgw0, dgb0, dgw1, dgb1,
     )
 

@@ -41,6 +41,7 @@ def knn(
     k: int,
     chunk_size: int = 1024,
     return_dist: bool = False,
+    kv_mask: jax.Array = None,
 ):
     """Indices of the k nearest points for each query.
 
@@ -54,6 +55,9 @@ def knn(
       k: neighbourhood size (static).
       chunk_size: query-axis tile; bounds peak memory at B*chunk*M floats.
       return_dist: also return the squared distances.
+      kv_mask: optional (B, M), nonzero = selectable.  Masked points are
+        never returned as neighbours (static-shape partial point clouds;
+        the caller guarantees at least k selectable points).
 
     Returns:
       (B, Nq, k) int32 indices, ordered by increasing distance
@@ -62,8 +66,10 @@ def knn(
     if jax.default_backend() in ("tpu", "axon") and query.shape[-1] == 3:
         from nsdp_tpu.ops.knn_pallas import knn_pallas
 
-        return knn_pallas(query, points, k, return_dist=return_dist)
-    return knn_xla(query, points, k, chunk_size, return_dist)
+        return knn_pallas(
+            query, points, k, return_dist=return_dist, kv_mask=kv_mask
+        )
+    return knn_xla(query, points, k, chunk_size, return_dist, kv_mask)
 
 
 @partial(jax.jit, static_argnames=("k", "chunk_size", "return_dist"))
@@ -73,6 +79,7 @@ def knn_xla(
     k: int,
     chunk_size: int = 1024,
     return_dist: bool = False,
+    kv_mask: jax.Array = None,
 ):
     """Chunked XLA implementation (any backend, any coordinate dim)."""
     B, Nq, C = query.shape
@@ -83,6 +90,9 @@ def knn_xla(
     query = query.astype(jnp.float32)
     points = points.astype(jnp.float32)
     p_sq = jnp.sum(points * points, axis=-1)  # (B, M)
+    if kv_mask is not None:
+        # additive penalty: masked points sort after every real neighbour
+        p_sq = p_sq + jnp.where(kv_mask != 0, 0.0, 1e30)
 
     n_chunks = -(-Nq // chunk_size)
     padded = n_chunks * chunk_size

@@ -8,7 +8,11 @@ Ties resolve to the lowest index, matching ``lax.top_k`` and the reference's
 stable argsort.
 
 Padding contract: padded point lanes get +inf distance, padded query rows
-produce garbage rows that the caller slices off.
+produce garbage rows that the caller slices off.  An optional ``kv_mask``
+excludes arbitrary *valid-shaped* points from selection (static-shape
+partial point clouds): the mask is folded into the unused 4th coordinate row
+of the transposed points layout as an additive distance penalty, so the
+kernel pays one broadcast add and no extra input.
 """
 
 from functools import partial
@@ -32,7 +36,9 @@ def _knn_kernel(q_ref, p_ref, out_ref, *, k: int, m_valid: int,
     M = p.shape[-1]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (T, M), 1)
-    d2 = jnp.zeros((T, M), jnp.float32)
+    # Row 3 of the points layout is the kv_mask distance penalty (zero when
+    # no mask was given), added before selection.
+    d2 = jnp.broadcast_to(p[3, :].reshape(1, M), (T, M))
     for c in range(3):
         qc = q[c, :].reshape(T, 1)
         pc = p[c, :].reshape(1, M)
@@ -72,11 +78,14 @@ def knn_pallas(
     tile: int = 512,
     return_dist: bool = False,
     interpret: bool = False,
+    kv_mask: jax.Array = None,
 ):
     """Fused kNN: (B, Nq, 3) x (B, M, 3) -> (B, Nq, k) int32 indices.
 
     Drop-in equivalent of :func:`nsdp_tpu.ops.knn.knn` (ordered by increasing
     distance, ties to lowest index), with the distance block kept in VMEM.
+    ``kv_mask`` (B, M), nonzero = selectable, excludes points from the
+    neighbourhoods (see module docstring).
     """
     B, Nq, C = query.shape
     M = points.shape[1]
@@ -94,6 +103,12 @@ def knn_pallas(
     qt = jnp.pad(qt, ((0, 0), (0, 5), (0, nq_pad - Nq)))
     pt = jnp.swapaxes(points.astype(jnp.float32), 1, 2)
     pt = jnp.pad(pt, ((0, 0), (0, 5), (0, m_pad - M)))
+    if kv_mask is not None:
+        # Penalty (not +inf: finite keeps min/= comparisons exact) dwarfs any
+        # real squared distance; masked points sort after every valid one.
+        penalty = jnp.where(kv_mask != 0, 0.0, 1e30).astype(jnp.float32)
+        penalty = jnp.pad(penalty, ((0, 0), (0, m_pad - M)))
+        pt = pt.at[:, 3, :].set(penalty)
 
     n_tiles = nq_pad // tile
     grid = (B, n_tiles)

@@ -70,7 +70,8 @@ def make_steps(model, model_type: str, tx, nan_guard: bool = False) -> Dict[str,
     """
     arbitrary = model_type == "arbitrary"
 
-    def forward(params, batch_stats, points, surface_samples_inputs, train):
+    def forward(params, batch_stats, points, surface_samples_inputs, train,
+                point_mask=None):
         variables = {"params": params, "batch_stats": batch_stats}
         if arbitrary:
             src, tgt, mask = _split_inputs(surface_samples_inputs)
@@ -79,9 +80,12 @@ def make_steps(model, model_type: str, tx, nan_guard: bool = False) -> Dict[str,
             args = (points, surface_samples_inputs)
         if train:
             return model.apply(
-                variables, *args, train=True, mutable=["batch_stats"]
+                variables, *args, train=True, point_mask=point_mask,
+                mutable=["batch_stats"]
             )
-        return model.apply(variables, *args, train=False), None
+        return model.apply(
+            variables, *args, train=False, point_mask=point_mask
+        ), None
 
     def loss_fn(params, batch_stats, batch):
         pred, mutated = forward(
@@ -90,6 +94,7 @@ def make_steps(model, model_type: str, tx, nan_guard: bool = False) -> Dict[str,
             batch["space_samples_src"],
             batch["surface_samples_inputs"],
             train=True,
+            point_mask=batch.get("surface_valid_mask"),
         )
         loss = compute_l2_error(pred, batch["space_samples_tgt"])
         new_stats = mutated["batch_stats"]
@@ -138,6 +143,7 @@ def make_steps(model, model_type: str, tx, nan_guard: bool = False) -> Dict[str,
             batch["space_samples_src"],
             batch["surface_samples_inputs"],
             train=False,
+            point_mask=batch.get("surface_valid_mask"),
         )
         return compute_l2_error(pred, batch["space_samples_tgt"])
 
@@ -158,6 +164,7 @@ def make_steps(model, model_type: str, tx, nan_guard: bool = False) -> Dict[str,
             batch["space_samples_src"],
             batch["surface_samples_inputs"],
             train=False,
+            point_mask=batch.get("surface_valid_mask"),
         )
         delta = pred - batch["space_samples_tgt"]
         per_sample = jnp.mean(0.5 * jnp.sum(delta * delta, axis=-1), axis=-1)
@@ -165,11 +172,12 @@ def make_steps(model, model_type: str, tx, nan_guard: bool = False) -> Dict[str,
         return jnp.sum(per_sample * sample_mask) / denom
 
     @jax.jit
-    def predict(state: TrainState, points, surface_samples_inputs):
+    def predict(state: TrainState, points, surface_samples_inputs,
+                point_mask=None):
         """Evaluate the deformation field at arbitrary query points."""
         pred, _ = forward(
             state.params, state.batch_stats, points, surface_samples_inputs,
-            train=False,
+            train=False, point_mask=point_mask,
         )
         return pred
 
@@ -209,19 +217,23 @@ def test_on_batch(
 
     inputs = batch["surface_samples_inputs"]
     surf_src = inputs[:, :, 0:3]
-    if fast_predict is not None:
+    point_mask = batch.get("surface_valid_mask")
+    if point_mask is not None or fast_predict is None:
+        # the fused fast path has no conditioning-mask support; padded
+        # partial shapes route through the flax predict
+        predictor = steps
+        batch["surface_samples_tgt_pred"] = np.asarray(
+            steps["predict"](state, surf_src, inputs, point_mask)
+        )
+    else:
         predictor = fast_predict
         batch["surface_samples_tgt_pred"] = np.asarray(
             fast_predict(jnp.asarray(surf_src), jnp.asarray(inputs))
         )
-    else:
-        predictor = steps
-        batch["surface_samples_tgt_pred"] = np.asarray(
-            steps["predict"](state, surf_src, inputs)
-        )
     if "verts_src" in batch:
         batch["verts_tgt_pred"] = predict_padded(
-            predictor, state, batch["verts_src"], inputs, bucket
+            predictor, state, batch["verts_src"], inputs, bucket,
+            point_mask=point_mask,
         )
         if compute_loss and "verts_tgt" in batch:
             mask = batch.get("verts_valid_mask")

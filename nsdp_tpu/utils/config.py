@@ -27,6 +27,10 @@ _DATA_DEFAULTS = {
     "partial_range": 0.1,
     "noise_level": 0.0,
     "partial_shape_ratio": 1.0,
+    # TPU extension: pad partial shapes back to num_surf_samples with a
+    # validity mask (static shapes; partial-shape training collates at any
+    # batch size — the reference's variable-size items need batch 1)
+    "pad_partial_shapes": False,
     "norm_params_file": "orig_to_gaps.txt",
     "surface_flow_file": "surface_points.npz",
     "space_flow_file": "flow.npz",

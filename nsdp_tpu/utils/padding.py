@@ -62,16 +62,19 @@ def pad_batch(batch: dict, target_b: int):
     return {k: pad(v) for k, v in batch.items()}, mask
 
 
-def predict_padded(steps, state, points, surface_samples_inputs, bucket=4096):
+def predict_padded(steps, state, points, surface_samples_inputs, bucket=4096,
+                   point_mask=None):
     """Evaluate the deformation field with query-axis bucket padding.
 
     ``steps`` is either the dict from ``make_steps`` (flax path, uses
-    ``state``) or a bare ``predict(points, inputs)`` callable (fast path,
-    ``state`` ignored).
+    ``state``; ``point_mask`` marks real conditioning rows for padded
+    partial shapes) or a bare ``predict(points, inputs)`` callable (fast
+    path, ``state`` ignored, no mask support).
     """
     padded, q = pad_queries(np.asarray(points), bucket)
     if callable(steps):
         out = steps(padded, surface_samples_inputs)
     else:
-        out = steps["predict"](state, padded, surface_samples_inputs)
+        out = steps["predict"](state, padded, surface_samples_inputs,
+                               point_mask)
     return np.asarray(out)[:, :q]

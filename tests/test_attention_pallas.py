@@ -113,7 +113,7 @@ class TestCustomVJP:
 
         def loss(xyz, kv, qf, K, V, *w):
             out = knn_vector_attention(
-                xyz, kv, qf, K, V, None, None, *w, k, 128, True
+                xyz, kv, qf, K, V, None, None, None, *w, k, 128, True
             )
             return jnp.sum(out * out)
 
@@ -233,7 +233,7 @@ class TestGlobalToken:
 
         def loss_fused(*args):
             out = knn_vector_attention(
-                *args[:7], *args[7:], k, 128, True
+                *args[:7], None, *args[7:], k, 128, True
             )
             return jnp.sum(out**2)
 
