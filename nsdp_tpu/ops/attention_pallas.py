@@ -16,6 +16,16 @@ attending to the full cloud).  Per query tile, entirely in VMEM:
 The (Nq, k, d) neighbourhood tensors that make the XLA path bandwidth-bound
 never exist.  Residual adds and BatchNorm stay outside (one elementwise
 pass).
+
+Gather packing: the per-slot one-hot matmuls are the kernels' dominant MXU
+cost (a gather of an (M, c) table costs a full (T, M) x (M, 128) pass no
+matter how small c is).  Key positions and key features are therefore packed
+into ONE table ``xk = [kv_xyz (8 lanes) | K (D lanes)]`` so each slot pays a
+single gather for both (the K block is separated afterwards with a cheap
+lane roll); the backward pass likewise packs the position/key scatter into
+one matmul.  Per slot this is 2 instead of 3 gathers forward, and 4 instead
+of 6 gather/scatter matmuls backward — exact same arithmetic per column,
+just fewer MXU passes.
 """
 
 from functools import partial
@@ -40,6 +50,16 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _roll_left(x, n: int):
+    """Rotate lanes left by n (columns n.. move to 0..)."""
+    w = x.shape[-1]
+    return pltpu.roll(x, w - n, 1)
+
+
+def _pad_lanes(x, w: int):
+    return jnp.pad(x, ((0, 0), (0, w - x.shape[-1])))
+
+
 def _mlp2(x, w0, b0, w1, b1):
     """Two-layer MLP; matmuls run in the weights' dtype (f32 or bf16) with
     f32 accumulation, biases and activations stay f32."""
@@ -50,7 +70,7 @@ def _mlp2(x, w0, b0, w1, b1):
 
 
 def _attn_kernel(
-    xyzq_ref, kvt_ref, kvxyz_ref, q_ref, k_ref, v_ref, glob_ref,
+    xyzq_ref, kvt_ref, xk_ref, q_ref, v_ref, glob_ref,
     dw0_ref, db0_ref, dw1_ref, db1_ref,
     gw0_ref, gb0_ref, gw1_ref, gb1_ref,
     out_ref,
@@ -59,7 +79,7 @@ def _attn_kernel(
 ):
     xyzq = xyzq_ref[0]  # (T, 8)
     kvt = kvt_ref[0]  # (8, Mpad) transposed kv coords
-    kvxyz = kvxyz_ref[0]  # (Mpad, 8)
+    xk = xk_ref[0]  # (Mpad, 8) coords, or (Mpad, W) packed [coords8 | K D]
     T = xyzq.shape[0]
     M = kvt.shape[-1]
 
@@ -71,7 +91,6 @@ def _attn_kernel(
 
     if not pos_only:
         q = q_ref[0]  # (T, D)
-        K_a = k_ref[0]  # (Mpad, D)
         V_a = v_ref[0]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (T, M), 1)
@@ -96,15 +115,14 @@ def _attn_kernel(
         onehot = (lane == idx).astype(_F32)
         idx_cols.append(idx)
 
-        xyz_n = jnp.dot(onehot, kvxyz, preferred_element_type=_F32)
-        pos = _mlp2(xyzq - xyz_n, dw0, db0, dw1, db1)  # (T, D)
+        # one gather for coords AND keys (packed table)
+        gath = jnp.dot(onehot, xk, preferred_element_type=_F32)  # (T, 8|W)
+        pos = _mlp2(xyzq - gath[:, :8], dw0, db0, dw1, db1)  # (T, D)
         if pos_only:
             logits = _mlp2(pos, gw0, gb0, gw1, gb1)
             value = pos
         else:
-            k_n = jnp.dot(
-                onehot.astype(K_a.dtype), K_a, preferred_element_type=_F32
-            )
+            k_n = _roll_left(gath, 8)[:, :D]
             v_n = jnp.dot(
                 onehot.astype(V_a.dtype), V_a, preferred_element_type=_F32
             )
@@ -142,11 +160,11 @@ def _attn_kernel(
 
 
 def _attn_bwd_kernel(
-    xyzq_ref, kvxyz_ref, q_ref, k_ref, v_ref, glob_ref,
+    xyzq_ref, xk_ref, q_ref, v_ref, glob_ref,
     dw0_ref, db0_ref, dw1_ref, db1_ref,
     gw0_ref, gb0_ref, gw1_ref, gb1_ref,
     g_ref, idx_in_ref,
-    dxyzq_ref, dkvxyz_ref, dq_ref, dk_out_ref, dv_out_ref, dglob_ref,
+    dxyzq_ref, dxk_ref, dq_ref, dv_out_ref, dglob_ref,
     ddw0_ref, ddb0_ref, ddw1_ref, ddb1_ref,
     dgw0_ref, dgb0_ref, dgw1_ref, dgb1_ref,
     *, k: int, m_valid: int, pos_only: bool, has_global: bool,
@@ -154,20 +172,24 @@ def _attn_bwd_kernel(
     """Backward of the fused attention.
 
     Consumes the kNN indices saved by the forward pass (no distance-matrix
-    recompute; the O(T*M) one-hot exists once per slot).  Per-tile query
-    gradients write directly; kv-side and weight gradients accumulate across
-    grid steps (their output windows revisit, Mosaic keeps them resident)."""
+    recompute; the O(T*M) one-hot exists once per slot and pass).  Per-tile
+    query gradients write directly; kv-side and weight gradients accumulate
+    across grid steps (their output windows revisit, Mosaic keeps them
+    resident).  kv-side gradients use the packed layout of the forward:
+    ``dxk = [d_kv_xyz (8 lanes) | dK (D lanes)]`` accumulates through ONE
+    scatter matmul per slot."""
     b = pl.program_id(0)
     t = pl.program_id(1)
     first_tile = t == 0
     first_all = (b == 0) & (t == 0)
 
     xyzq = xyzq_ref[0]
-    kvxyz = kvxyz_ref[0]
+    xk = xk_ref[0]  # (Mpad, 8) or (Mpad, W) packed
     g = g_ref[0]  # (T, D)
     idx_in = idx_in_ref[0]  # (T, kpad) int32
     T = xyzq.shape[0]
-    M = kvxyz.shape[0]
+    M = xk.shape[0]
+    W = xk.shape[-1]
 
     dw0, db0 = dw0_ref[0], db0_ref[0]
     dw1, db1 = dw1_ref[0], db1_ref[0]
@@ -177,26 +199,30 @@ def _attn_bwd_kernel(
 
     if not pos_only:
         qf = q_ref[0]
-        K_a = k_ref[0]
         V_a = v_ref[0]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (T, M), 1)
 
     # ---- pass 1: recompute per-slot intermediates -------------------------
-    idxs, dxs, hds, poss, us, hgs, logits_all = [], [], [], [], [], [], []
+    idxs, dxs, hds, poss, us, hgs, vals, logits_all = (
+        [], [], [], [], [], [], [], []
+    )
     for j in range(k):
         idx = idx_in[:, j : j + 1]
         onehot = (lane == idx).astype(_F32)
 
-        xyz_n = jnp.dot(onehot, kvxyz, preferred_element_type=_F32)
-        dx = xyzq - xyz_n
+        gath = jnp.dot(onehot, xk, preferred_element_type=_F32)
+        dx = xyzq - gath[:, :8]
         hd = jnp.maximum(jnp.dot(dx, dw0, preferred_element_type=_F32) + db0, 0.0)
         pos = jnp.dot(hd, dw1, preferred_element_type=_F32) + db1
         if pos_only:
             u = pos
+            val = pos
         else:
-            k_n = jnp.dot(onehot, K_a, preferred_element_type=_F32)
+            k_n = _roll_left(gath, 8)[:, :D]
             u = qf - k_n + pos
+            v_n = jnp.dot(onehot, V_a, preferred_element_type=_F32)
+            val = v_n + pos
         hg = jnp.maximum(jnp.dot(u, gw0, preferred_element_type=_F32) + gb0, 0.0)
         logits = jnp.dot(hg, gw1, preferred_element_type=_F32) + gb1
         idxs.append(idx)
@@ -205,6 +231,7 @@ def _attn_bwd_kernel(
         poss.append(pos)
         us.append(u)
         hgs.append(hg)
+        vals.append(val)
         logits_all.append(logits)
 
     if has_global:
@@ -218,6 +245,7 @@ def _attn_bwd_kernel(
         logits_all.append(
             jnp.dot(hg_g, gw1, preferred_element_type=_F32) + gb1
         )
+        vals.append(v_g)
 
     # softmax over slots (per channel)
     m_max = logits_all[0]
@@ -233,8 +261,7 @@ def _attn_bwd_kernel(
     # init accumulated outputs on first visit
     @pl.when(first_tile)
     def _():
-        dkvxyz_ref[0] = jnp.zeros_like(dkvxyz_ref[0])
-        dk_out_ref[0] = jnp.zeros_like(dk_out_ref[0])
+        dxk_ref[0] = jnp.zeros_like(dxk_ref[0])
         dv_out_ref[0] = jnp.zeros_like(dv_out_ref[0])
         dglob_ref[0] = jnp.zeros_like(dglob_ref[0])
 
@@ -251,16 +278,6 @@ def _attn_bwd_kernel(
 
     # softmax jacobian: dlogits_j = a_j * (dattn_j - sum_i a_i*dattn_i)
     # with dattn_j = g * val_j, and dval_j = g * a_j.
-    vals = []
-    for j in range(k):
-        if pos_only:
-            vals.append(poss[j])
-        else:
-            onehot = (lane == idxs[j]).astype(_F32)
-            v_n = jnp.dot(onehot, V_a, preferred_element_type=_F32)
-            vals.append(v_n + poss[j])
-    if has_global:
-        vals.append(v_g)
     n_slots = len(vals)
     inner = attn[0] * (g * vals[0])
     for j in range(1, n_slots):
@@ -276,9 +293,8 @@ def _attn_bwd_kernel(
     dgb0_a = jnp.zeros_like(dgb0_ref[0])
     dgw1_a = jnp.zeros_like(dgw1_ref[0])
     dgb1_a = jnp.zeros_like(dgb1_ref[0])
-    dkvxyz_acc = jnp.zeros_like(dkvxyz_ref[0])
+    dxk_acc = jnp.zeros_like(dxk_ref[0])
     if not pos_only:
-        dk_acc = jnp.zeros_like(dk_out_ref[0])
         dv_acc = jnp.zeros_like(dv_out_ref[0])
 
     def mlp_bwd(dy, x, h, w0, w1):
@@ -314,21 +330,9 @@ def _attn_bwd_kernel(
         dgw1_a += gw1_d
         dgb1_a += gb1_d
 
-        if pos_only:
-            dpos = du + dval
-        else:
-            dpos = du + dval
+        dpos = du + dval
+        if not pos_only:
             dq_acc = dq_acc + du
-            onehot = (lane == idxs[j]).astype(_F32)
-            # scatter -du into dK, dval into dV: onehot^T @ grad
-            dk_acc = dk_acc + jax.lax.dot_general(
-                onehot, du, (((0,), (0,)), ((), ())),
-                preferred_element_type=_F32,
-            ) * (-1.0)
-            dv_acc = dv_acc + jax.lax.dot_general(
-                onehot, dval, (((0,), (0,)), ((), ())),
-                preferred_element_type=_F32,
-            )
 
         ddx, dw0_d, db0_d, dw1_d, db1_d = mlp_bwd(
             dpos, dxs[j], hds[j], dw0, dw1
@@ -340,10 +344,22 @@ def _attn_bwd_kernel(
 
         dxyzq_acc = dxyzq_acc + ddx
         onehot = (lane == idxs[j]).astype(_F32)
-        dkvxyz_acc = dkvxyz_acc + jax.lax.dot_general(
-            onehot, ddx, (((0,), (0,)), ((), ())),
+        # one packed scatter: [-ddx into d_kv_xyz | -du into dK]
+        if pos_only:
+            scat = ddx
+        else:
+            scat = _pad_lanes(ddx, W) + _roll_left(
+                _pad_lanes(du, W), W - 8
+            )
+        dxk_acc = dxk_acc + jax.lax.dot_general(
+            onehot, scat, (((0,), (0,)), ((), ())),
             preferred_element_type=_F32,
         ) * (-1.0)
+        if not pos_only:
+            dv_acc = dv_acc + jax.lax.dot_general(
+                onehot, dval, (((0,), (0,)), ((), ())),
+                preferred_element_type=_F32,
+            )
 
     if has_global:
         a_g = attn[k]
@@ -367,11 +383,10 @@ def _attn_bwd_kernel(
     dxyzq_ref[0] = dxyzq_acc
     if not pos_only:
         dq_ref[0] = dq_acc
-        dk_out_ref[0] += dk_acc
         dv_out_ref[0] += dv_acc
     else:
         dq_ref[0] = jnp.zeros_like(dq_ref[0])
-    dkvxyz_ref[0] += dkvxyz_acc
+    dxk_ref[0] += dxk_acc
     ddw0_ref[0] += ddw0_a
     ddb0_ref[0] += ddb0_a
     ddw1_ref[0] += ddw1_a
@@ -380,6 +395,26 @@ def _attn_bwd_kernel(
     dgb0_ref[0] += dgb0_a
     dgw1_ref[0] += dgw1_a
     dgb1_ref[0] += dgb1_a
+
+
+def _pack_xk(kv_xyz, K_a, m_pad, compute_dtype=None):
+    """Build the packed gather table [coords (8 lanes) | K (D lanes)].
+
+    Coordinates stay f32 (the position-encoding delta must be exact);
+    consequently the packed K block is f32 too — measured a no-op on the
+    benchmark chip vs a bf16 cast (the gather matmul's MXU passes are the
+    cost, not operand width).
+    """
+    B, M, _ = kv_xyz.shape
+    xyz8 = jnp.pad(kv_xyz.astype(_F32), ((0, 0), (0, m_pad - M), (0, 5)))
+    if K_a is None:
+        return xyz8, 8
+    D = K_a.shape[-1]
+    W = _round_up(8 + D, 128)
+    K_p = jnp.pad(
+        K_a.astype(_F32), ((0, 0), (0, m_pad - M), (0, W - 8 - D))
+    )
+    return jnp.concatenate([xyz8, K_p], axis=-1), W
 
 
 @partial(jax.jit, static_argnames=("k", "tile", "interpret", "return_idx",
@@ -431,7 +466,7 @@ def fused_vector_attention(
         raise ValueError("global token requires query features")
     cd = jnp.dtype(compute_dtype) if compute_dtype is not None else _F32
     # distances and coordinate deltas stay f32 (selection must be exact);
-    # feature matmuls may run bf16 with f32 accumulation.
+    # value-feature matmuls may run bf16 with f32 accumulation.
     cast = lambda x: x.astype(cd)
 
     tile = min(tile, _round_up(Nq, 128))
@@ -450,15 +485,13 @@ def fused_vector_attention(
         penalty = jnp.where(kv_mask != 0, 0.0, 1e30).astype(_F32)
         penalty = jnp.pad(penalty, ((0, 0), (0, m_pad - M)))
         kvt = kvt.at[:, 3, :].set(penalty)
-    kvxyz = jnp.pad(kv_xyz.astype(_F32), ((0, 0), (0, m_pad - M), (0, 5)))
+    xk, w_lanes = _pack_xk(kv_xyz, None if pos_only else K_a, m_pad)
     if pos_only:
         qf = jnp.zeros((B, q_pad, 1), _F32)
-        K_p = jnp.zeros((B, m_pad, 1), _F32)
         V_p = jnp.zeros((B, m_pad, 1), _F32)
         feat_d = 1
     else:
         qf = jnp.pad(q_feats.astype(_F32), ((0, 0), (0, q_pad - Nq), (0, 0)))
-        K_p = jnp.pad(cast(K_a), ((0, 0), (0, m_pad - M), (0, 0)))
         V_p = jnp.pad(cast(V_a), ((0, 0), (0, m_pad - M), (0, 0)))
         feat_d = D
 
@@ -507,10 +540,9 @@ def fused_vector_attention(
             pl.BlockSpec((1, tile, 8), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
             per_b((1, 8, m_pad)),
-            per_b((1, m_pad, 8)),
+            per_b((1, m_pad, w_lanes)),
             pl.BlockSpec((1, tile, feat_d), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
-            per_b((1, m_pad, feat_d)),
             per_b((1, m_pad, feat_d)),
             per_b((1, 8, feat_d)),
             const((1, 8, D)),
@@ -527,7 +559,7 @@ def fused_vector_attention(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(xyzq, kvt, kvxyz, qf, K_p, V_p, glob,
+    )(xyzq, kvt, xk, qf, V_p, glob,
       dw0, db0, dw1, db1, gw0, gb0, gw1, gb1)
     if return_idx:
         return out[0][:, :Nq], out[1]
@@ -561,19 +593,17 @@ def _fused_attention_bwd(
     n_tiles = q_pad // tile
 
     xyzq = jnp.pad(xyz_q.astype(_F32), ((0, 0), (0, q_pad - Nq), (0, 5)))
-    kvxyz = jnp.pad(kv_xyz.astype(_F32), ((0, 0), (0, m_pad - M), (0, 5)))
     g_p = jnp.pad(g.astype(_F32), ((0, 0), (0, q_pad - Nq), (0, 0)))
     kpad = idx.shape[-1]
     if idx.shape[1] != q_pad:  # forward may have used a different tile size
         idx = jnp.pad(idx, ((0, 0), (0, q_pad - idx.shape[1]), (0, 0)))
+    xk, w_lanes = _pack_xk(kv_xyz, None if pos_only else K_a, m_pad)
     if pos_only:
         qf = jnp.zeros((B, q_pad, 1), _F32)
-        K_p = jnp.zeros((B, m_pad, 1), _F32)
         V_p = jnp.zeros((B, m_pad, 1), _F32)
         feat_d = 1
     else:
         qf = jnp.pad(q_feats.astype(_F32), ((0, 0), (0, q_pad - Nq), (0, 0)))
-        K_p = jnp.pad(K_a.astype(_F32), ((0, 0), (0, m_pad - M), (0, 0)))
         V_p = jnp.pad(V_a.astype(_F32), ((0, 0), (0, m_pad - M), (0, 0)))
         feat_d = D
 
@@ -605,9 +635,8 @@ def _fused_attention_bwd(
 
     out_shapes = (
         jax.ShapeDtypeStruct((B, q_pad, 8), _F32),        # dxyzq
-        jax.ShapeDtypeStruct((B, m_pad, 8), _F32),        # dkvxyz
+        jax.ShapeDtypeStruct((B, m_pad, w_lanes), _F32),  # dxk packed
         jax.ShapeDtypeStruct((B, q_pad, feat_d), _F32),   # dq
-        jax.ShapeDtypeStruct((B, m_pad, feat_d), _F32),   # dK
         jax.ShapeDtypeStruct((B, m_pad, feat_d), _F32),   # dV
         jax.ShapeDtypeStruct((B, 8, feat_d), _F32),       # dglob
         jax.ShapeDtypeStruct((1, 8, D), _F32),            # ddw0
@@ -621,9 +650,8 @@ def _fused_attention_bwd(
     )
     out_specs = (
         per_tile(8),
-        per_b((1, m_pad, 8)),
+        per_b((1, m_pad, w_lanes)),
         per_tile(feat_d),
-        per_b((1, m_pad, feat_d)),
         per_b((1, m_pad, feat_d)),
         per_b((1, 8, feat_d)),
         const((1, 8, D)),
@@ -643,9 +671,8 @@ def _fused_attention_bwd(
         grid=(B, n_tiles),
         in_specs=[
             per_tile(8),
-            per_b((1, m_pad, 8)),
+            per_b((1, m_pad, w_lanes)),
             per_tile(feat_d),
-            per_b((1, m_pad, feat_d)),
             per_b((1, m_pad, feat_d)),
             per_b((1, 8, feat_d)),
             const((1, 8, D)),
@@ -664,18 +691,18 @@ def _fused_attention_bwd(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(xyzq, kvxyz, qf, K_p, V_p, glob,
+    )(xyzq, xk, qf, V_p, glob,
       dw0, db0, dw1, db1, gw0, gb0, gw1, gb1, g_p, idx)
 
-    (dxyzq, dkvxyz, dq, dK, dV, dglob,
+    (dxyzq, dxk, dq, dV, dglob,
      ddw0, ddb0, ddw1, ddb1, dgw0, dgb0, dgw1, dgb1) = outs
 
     in_dim = delta_w0.shape[0]
     grads = (
         dxyzq[:, :Nq, :3],
-        dkvxyz[:, :M, :3],
+        dxk[:, :M, :3],
         None if pos_only else dq[:, :Nq],
-        None if pos_only else dK[:, :M],
+        None if pos_only else dxk[:, :M, 8 : 8 + D],
         None if pos_only else dV[:, :M],
         ddw0[0, :in_dim], ddb0[0, 0], ddw1[0], ddb1[0, 0],
         dgw0[0], dgb0[0, 0], dgw1[0], dgb1[0, 0],
