@@ -69,12 +69,20 @@ def _mlp2(x, w0, b0, w1, b1):
     return jnp.dot(h.astype(w1.dtype), w1, preferred_element_type=_F32) + b1
 
 
+def _res_lanes(k: int, d: int, pos_only: bool) -> int:
+    """Lane width of the saved-residuals block (see _attn_kernel)."""
+    if pos_only:
+        return _round_up(8 * k, 128)  # k packed dx blocks
+    return k * _round_up(8 + 2 * d, 128)  # per-slot [dx | u | val]
+
+
 def _attn_kernel(
     xyzq_ref, kvt_ref, xk_ref, q_ref, v_ref, glob_ref,
     dw0_ref, db0_ref, dw1_ref, db1_ref,
     gw0_ref, gb0_ref, gw1_ref, gb1_ref,
     out_ref,
     idx_ref=None,
+    res_ref=None,
     *, k: int, m_valid: int, pos_only: bool, has_global: bool,
 ):
     xyzq = xyzq_ref[0]  # (T, 8)
@@ -107,6 +115,7 @@ def _attn_kernel(
     idx_cols = []
     logits_all = []
     values_all = []
+    res_blocks = []
 
     for _ in range(k):
         m = jnp.min(d2, axis=-1, keepdims=True)
@@ -117,17 +126,26 @@ def _attn_kernel(
 
         # one gather for coords AND keys (packed table)
         gath = jnp.dot(onehot, xk, preferred_element_type=_F32)  # (T, 8|W)
-        pos = _mlp2(xyzq - gath[:, :8], dw0, db0, dw1, db1)  # (T, D)
+        dx = xyzq - gath[:, :8]
+        pos = _mlp2(dx, dw0, db0, dw1, db1)  # (T, D)
         if pos_only:
             logits = _mlp2(pos, gw0, gb0, gw1, gb1)
             value = pos
+            if res_ref is not None:
+                res_blocks.append(dx)
         else:
             k_n = _roll_left(gath, 8)[:, :D]
             v_n = jnp.dot(
                 onehot.astype(V_a.dtype), V_a, preferred_element_type=_F32
             )
-            logits = _mlp2(q - k_n + pos, gw0, gb0, gw1, gb1)
+            u = q - k_n + pos
+            logits = _mlp2(u, gw0, gb0, gw1, gb1)
             value = v_n + pos
+            if res_ref is not None:
+                blk = _round_up(8 + 2 * D, 128)
+                res_blocks.append(_pad_lanes(
+                    jnp.concatenate([dx, u, value], axis=-1), blk
+                ))
         logits_all.append(logits)
         values_all.append(value)
 
@@ -157,39 +175,42 @@ def _attn_kernel(
         idx_mat = jnp.concatenate(idx_cols, axis=-1)  # (T, k)
         kpad = idx_ref.shape[-1]
         idx_ref[0] = jnp.pad(idx_mat, ((0, 0), (0, kpad - k)))
+    if res_ref is not None:
+        res = jnp.concatenate(res_blocks, axis=-1)
+        res_ref[0] = _pad_lanes(res, res_ref.shape[-1])
 
 
 def _attn_bwd_kernel(
-    xyzq_ref, xk_ref, q_ref, v_ref, glob_ref,
+    q_ref, glob_ref,
     dw0_ref, db0_ref, dw1_ref, db1_ref,
     gw0_ref, gb0_ref, gw1_ref, gb1_ref,
-    g_ref, idx_in_ref,
+    g_ref, idx_in_ref, res_ref,
     dxyzq_ref, dxk_ref, dq_ref, dv_out_ref, dglob_ref,
     ddw0_ref, ddb0_ref, ddw1_ref, ddb1_ref,
     dgw0_ref, dgb0_ref, dgw1_ref, dgb1_ref,
-    *, k: int, m_valid: int, pos_only: bool, has_global: bool,
+    *, k: int, pos_only: bool, has_global: bool,
 ):
     """Backward of the fused attention.
 
-    Consumes the kNN indices saved by the forward pass (no distance-matrix
-    recompute; the O(T*M) one-hot exists once per slot and pass).  Per-tile
-    query gradients write directly; kv-side and weight gradients accumulate
-    across grid steps (their output windows revisit, Mosaic keeps them
-    resident).  kv-side gradients use the packed layout of the forward:
-    ``dxk = [d_kv_xyz (8 lanes) | dK (D lanes)]`` accumulates through ONE
-    scatter matmul per slot."""
+    Consumes the kNN indices AND the per-slot residuals ``[dx | u | val]``
+    saved by the forward pass, so pass 1 re-derives every intermediate with
+    small (T, D) matmuls only — no kv tables enter the kernel and no
+    (T, M)-scale gathers run at all.  The only (T, M) work left is one
+    packed scatter matmul per slot (``dxk = [d_kv_xyz (8) | dK (D)]``) plus
+    the dV scatter.  Per-tile query gradients write directly; kv-side and
+    weight gradients accumulate across grid steps (their output windows
+    revisit, Mosaic keeps them resident)."""
     b = pl.program_id(0)
     t = pl.program_id(1)
     first_tile = t == 0
     first_all = (b == 0) & (t == 0)
 
-    xyzq = xyzq_ref[0]
-    xk = xk_ref[0]  # (Mpad, 8) or (Mpad, W) packed
     g = g_ref[0]  # (T, D)
     idx_in = idx_in_ref[0]  # (T, kpad) int32
-    T = xyzq.shape[0]
-    M = xk.shape[0]
-    W = xk.shape[-1]
+    res = res_ref[0]  # (T, R) packed residuals
+    T = g.shape[0]
+    M = dxk_ref.shape[1]
+    W = dxk_ref.shape[-1]
 
     dw0, db0 = dw0_ref[0], db0_ref[0]
     dw1, db1 = dw1_ref[0], db1_ref[0]
@@ -199,36 +220,35 @@ def _attn_bwd_kernel(
 
     if not pos_only:
         qf = q_ref[0]
-        V_a = v_ref[0]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (T, M), 1)
 
-    # ---- pass 1: recompute per-slot intermediates -------------------------
-    idxs, dxs, hds, poss, us, hgs, vals, logits_all = (
-        [], [], [], [], [], [], [], []
-    )
+    # ---- pass 1: unpack residuals, re-derive small intermediates ----------
+    idxs, dxs, hds, us, hgs, vals, logits_all = [], [], [], [], [], [], []
+    blk = _round_up(8 + 2 * D, 128)
     for j in range(k):
         idx = idx_in[:, j : j + 1]
-        onehot = (lane == idx).astype(_F32)
-
-        gath = jnp.dot(onehot, xk, preferred_element_type=_F32)
-        dx = xyzq - gath[:, :8]
-        hd = jnp.maximum(jnp.dot(dx, dw0, preferred_element_type=_F32) + db0, 0.0)
-        pos = jnp.dot(hd, dw1, preferred_element_type=_F32) + db1
         if pos_only:
+            dx = _roll_left(res, 8 * j)[:, :8] if j else res[:, :8]
+            hd = jnp.maximum(
+                jnp.dot(dx, dw0, preferred_element_type=_F32) + db0, 0.0
+            )
+            pos = jnp.dot(hd, dw1, preferred_element_type=_F32) + db1
             u = pos
             val = pos
         else:
-            k_n = _roll_left(gath, 8)[:, :D]
-            u = qf - k_n + pos
-            v_n = jnp.dot(onehot, V_a, preferred_element_type=_F32)
-            val = v_n + pos
+            blk_j = res[:, j * blk : (j + 1) * blk]
+            dx = blk_j[:, :8]
+            u = _roll_left(blk_j, 8)[:, :D]
+            val = _roll_left(blk_j, 8 + D)[:, :D]
+            hd = jnp.maximum(
+                jnp.dot(dx, dw0, preferred_element_type=_F32) + db0, 0.0
+            )
         hg = jnp.maximum(jnp.dot(u, gw0, preferred_element_type=_F32) + gb0, 0.0)
         logits = jnp.dot(hg, gw1, preferred_element_type=_F32) + gb1
         idxs.append(idx)
         dxs.append(dx)
         hds.append(hd)
-        poss.append(pos)
         us.append(u)
         hgs.append(hg)
         vals.append(val)
@@ -418,7 +438,7 @@ def _pack_xk(kv_xyz, K_a, m_pad, compute_dtype=None):
 
 
 @partial(jax.jit, static_argnames=("k", "tile", "interpret", "return_idx",
-                                   "compute_dtype"))
+                                   "compute_dtype", "save_residuals"))
 def fused_vector_attention(
     xyz_q,
     kv_xyz,
@@ -435,6 +455,7 @@ def fused_vector_attention(
     return_idx: bool = False,
     compute_dtype=None,
     kv_mask: Optional[jax.Array] = None,
+    save_residuals: bool = False,
 ):
     """Fused kNN vector attention (pre-residual, pre-norm).
 
@@ -451,10 +472,15 @@ def fused_vector_attention(
       kv_mask: optional (B, M), nonzero = selectable.  Masked kv points are
         never chosen as neighbours (static-shape partial point clouds); the
         caller guarantees at least k selectable points per batch element.
+      save_residuals: additionally return the packed per-slot residuals
+        ``[dx | u | val]`` the Pallas backward consumes (requires
+        return_idx; used by the custom-VJP training path).
 
     Returns:
-      (B, Nq, D) float32.
+      (B, Nq, D) float32 (plus idx and residuals when requested).
     """
+    if save_residuals and not return_idx:
+        raise ValueError("save_residuals requires return_idx")
     interpret = _resolve_interpret(interpret)
     B, Nq, _ = xyz_q.shape
     M = kv_xyz.shape[1]
@@ -528,13 +554,20 @@ def fused_vector_attention(
         out_spec.append(pl.BlockSpec(
             (1, tile, kpad), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
         ))
+    if save_residuals:
+        r_lanes = _res_lanes(k, D, pos_only)
+        out_shape.append(jax.ShapeDtypeStruct((B, q_pad, r_lanes), _F32))
+        out_spec.append(pl.BlockSpec(
+            (1, tile, r_lanes), lambda b, t: (b, t, 0),
+            memory_space=pltpu.VMEM,
+        ))
 
     out = pl.pallas_call(
         partial(
             _attn_kernel, k=k, m_valid=M, pos_only=pos_only,
             has_global=has_global,
         ),
-        out_shape=tuple(out_shape) if return_idx else out_shape[0],
+        out_shape=tuple(out_shape) if len(out_shape) > 1 else out_shape[0],
         grid=(B, n_tiles),
         in_specs=[
             pl.BlockSpec((1, tile, 8), lambda b, t: (b, t, 0),
@@ -554,13 +587,15 @@ def fused_vector_attention(
             const((1, D, D)),
             const((1, 1, D)),
         ],
-        out_specs=tuple(out_spec) if return_idx else out_spec[0],
+        out_specs=tuple(out_spec) if len(out_spec) > 1 else out_spec[0],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
     )(xyzq, kvt, xk, qf, V_p, glob,
       dw0, db0, dw1, db1, gw0, gb0, gw1, gb1)
+    if save_residuals:
+        return out[0][:, :Nq], out[1], out[2]
     if return_idx:
         return out[0][:, :Nq], out[1]
     return out[:, :Nq]
@@ -571,14 +606,18 @@ def _fused_attention_bwd(
     xyz_q, kv_xyz, q_feats, K_a, V_a,
     delta_w0, delta_b0, delta_w1, delta_b1,
     gamma_w0, gamma_b0, gamma_w1, gamma_b1,
-    g, idx,
+    g, idx, res,
     k: int,
     tile: int = 128,
     interpret: bool = None,
     k_glob=None,
     v_glob=None,
 ):
-    """Pallas backward pass; returns grads for every differentiable input."""
+    """Pallas backward pass; returns grads for every differentiable input.
+
+    ``idx`` and ``res`` are the kNN indices and packed per-slot residuals
+    saved by the forward; the kv tables themselves are not needed (the
+    xyz_q / kv_xyz / K_a / V_a arguments only provide shapes)."""
     interpret = _resolve_interpret(interpret)
     B, Nq, _ = xyz_q.shape
     M = kv_xyz.shape[1]
@@ -591,20 +630,20 @@ def _fused_attention_bwd(
     q_pad = _round_up(Nq, tile)
     m_pad = _round_up(M, 128)
     n_tiles = q_pad // tile
+    w_lanes = 8 if pos_only else _round_up(8 + D, 128)
+    r_lanes = res.shape[-1]
 
-    xyzq = jnp.pad(xyz_q.astype(_F32), ((0, 0), (0, q_pad - Nq), (0, 5)))
     g_p = jnp.pad(g.astype(_F32), ((0, 0), (0, q_pad - Nq), (0, 0)))
     kpad = idx.shape[-1]
     if idx.shape[1] != q_pad:  # forward may have used a different tile size
         idx = jnp.pad(idx, ((0, 0), (0, q_pad - idx.shape[1]), (0, 0)))
-    xk, w_lanes = _pack_xk(kv_xyz, None if pos_only else K_a, m_pad)
+    if res.shape[1] != q_pad:
+        res = jnp.pad(res, ((0, 0), (0, q_pad - res.shape[1]), (0, 0)))
     if pos_only:
         qf = jnp.zeros((B, q_pad, 1), _F32)
-        V_p = jnp.zeros((B, m_pad, 1), _F32)
         feat_d = 1
     else:
         qf = jnp.pad(q_feats.astype(_F32), ((0, 0), (0, q_pad - Nq), (0, 0)))
-        V_p = jnp.pad(V_a.astype(_F32), ((0, 0), (0, m_pad - M), (0, 0)))
         feat_d = D
 
     dw0 = jnp.pad(delta_w0.astype(_F32), ((0, 8 - delta_w0.shape[0]), (0, 0)))[None]
@@ -665,15 +704,12 @@ def _fused_attention_bwd(
     )
 
     outs = pl.pallas_call(
-        partial(_attn_bwd_kernel, k=k, m_valid=M, pos_only=pos_only,
+        partial(_attn_bwd_kernel, k=k, pos_only=pos_only,
                 has_global=has_global),
         out_shape=out_shapes,
         grid=(B, n_tiles),
         in_specs=[
-            per_tile(8),
-            per_b((1, m_pad, w_lanes)),
             per_tile(feat_d),
-            per_b((1, m_pad, feat_d)),
             per_b((1, 8, feat_d)),
             const((1, 8, D)),
             const((1, 1, D)),
@@ -685,14 +721,15 @@ def _fused_attention_bwd(
             const((1, 1, D)),
             per_tile(D),
             per_tile(kpad),
+            per_tile(r_lanes),
         ],
         out_specs=out_specs,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(xyzq, xk, qf, V_p, glob,
-      dw0, db0, dw1, db1, gw0, gb0, gw1, gb1, g_p, idx)
+    )(qf, glob,
+      dw0, db0, dw1, db1, gw0, gb0, gw1, gb1, g_p, idx, res)
 
     (dxyzq, dxk, dq, dV, dglob,
      ddw0, ddb0, ddw1, ddb1, dgw0, dgb0, dgw1, dgb1) = outs
@@ -741,17 +778,18 @@ def _kva_fwd(
     gamma_w0, gamma_b0, gamma_w1, gamma_b1,
     k, tile, interpret,
 ):
-    out, idx = fused_vector_attention(
+    out, idx, res = fused_vector_attention(
         xyz_q, kv_xyz, q_feats, K_a, V_a,
         delta_w0, delta_b0, delta_w1, delta_b1,
         gamma_w0, gamma_b0, gamma_w1, gamma_b1,
         k=k, tile=tile, interpret=interpret,
         k_glob=k_glob, v_glob=v_glob, kv_mask=kv_mask, return_idx=True,
+        save_residuals=True,
     )
     residuals = (
         xyz_q, kv_xyz, q_feats, K_a, V_a, k_glob, v_glob, kv_mask,
         delta_w0, delta_b0, delta_w1, delta_b1,
-        gamma_w0, gamma_b0, gamma_w1, gamma_b1, idx,
+        gamma_w0, gamma_b0, gamma_w1, gamma_b1, idx, res,
     )
     return out, residuals
 
@@ -759,12 +797,12 @@ def _kva_fwd(
 def _kva_bwd(k, tile, interpret, residuals, g):
     (xyz_q, kv_xyz, q_feats, K_a, V_a, k_glob, v_glob, kv_mask,
      delta_w0, delta_b0, delta_w1, delta_b1,
-     gamma_w0, gamma_b0, gamma_w1, gamma_b1, idx) = residuals
+     gamma_w0, gamma_b0, gamma_w1, gamma_b1, idx, res) = residuals
     grads = _fused_attention_bwd(
         xyz_q, kv_xyz, q_feats, K_a, V_a,
         delta_w0, delta_b0, delta_w1, delta_b1,
         gamma_w0, gamma_b0, gamma_w1, gamma_b1,
-        g, idx, k=k, tile=tile, interpret=interpret,
+        g, idx, res, k=k, tile=tile, interpret=interpret,
         k_glob=k_glob, v_glob=v_glob,
     )
     (dxyzq, dkvxyz, dq, dK, dV,
