@@ -280,14 +280,21 @@ class Deform4DFlowDataset:
                 # kNN and BatchNorm statistics — partial shapes collate at
                 # any batch size.  The reference's variable-size items only
                 # collate at batch 1.
-                n = len(s_src)
-                pad = T.compact_pad(keep, n)
-                inputs = pad(inputs)
-                s_cano, s_src, s_tgt = pad(s_cano), pad(s_src), pad(s_tgt)
-                n_cano, n_src, n_tgt = pad(n_cano), pad(n_src), pad(n_tgt)
-                handle = pad(handle)
-                valid = np.zeros((n,), np.float32)
-                valid[: len(keep)] = 1.0
+                padded, valid = T.pad_partial_static(
+                    keep,
+                    dict(inputs=inputs, s_cano=s_cano, s_src=s_src,
+                         s_tgt=s_tgt, n_cano=n_cano, n_src=n_src,
+                         n_tgt=n_tgt, handle=handle),
+                    min_valid=T.min_valid_points(self.cfg),
+                )
+                inputs = padded["inputs"]
+                s_cano, s_src, s_tgt = (
+                    padded["s_cano"], padded["s_src"], padded["s_tgt"]
+                )
+                n_cano, n_src, n_tgt = (
+                    padded["n_cano"], padded["n_src"], padded["n_tgt"]
+                )
+                handle = padded["handle"]
                 out["surface_valid_mask"] = valid
             else:
                 inputs = inputs[keep]
@@ -463,13 +470,17 @@ class DeformUserhandleDataset(Deform4DFlowDataset):
             )
             if dcfg.get("pad_partial_shapes", False):
                 # static-shape variant, see Deform4DFlow_Dataset.__getitem__
-                n = len(s_src)
-                pad = T.compact_pad(keep, n)
-                inputs = pad(inputs)
-                s_cano, s_src, s_tgt = pad(s_cano), pad(s_src), pad(s_tgt)
-                handle = pad(handle)
-                valid = np.zeros((n,), np.float32)
-                valid[: len(keep)] = 1.0
+                padded, valid = T.pad_partial_static(
+                    keep,
+                    dict(inputs=inputs, s_cano=s_cano, s_src=s_src,
+                         s_tgt=s_tgt, handle=handle),
+                    min_valid=T.min_valid_points(self.cfg),
+                )
+                inputs = padded["inputs"]
+                s_cano, s_src, s_tgt = (
+                    padded["s_cano"], padded["s_src"], padded["s_tgt"]
+                )
+                handle = padded["handle"]
                 out["surface_valid_mask"] = valid
             else:
                 inputs = inputs[keep]

@@ -150,6 +150,44 @@ def compact_pad(keep: np.ndarray, n: int):
     return pad
 
 
+def min_valid_points(cfg: Dict) -> int:
+    """Fewest surviving points the encoder can run on with a validity mask.
+
+    The masked kNN/FPS paths require at least as many selectable points as
+    the largest neighbourhood / downsample target at full resolution
+    (``nsdp_tpu.ops.knn`` docstring: "the caller guarantees at least k
+    selectable points").
+    """
+    ek = cfg.get("model", {}).get("encoder_kwargs", {})
+    npl = ek.get("npoints_per_layer") or []
+    first_down = npl[1] if len(npl) > 1 else 1
+    return max(
+        first_down, ek.get("nneighbor", 1), ek.get("nneighbor_reduced", 1), 1
+    )
+
+
+def pad_partial_static(keep: np.ndarray, arrays: Dict, min_valid: int = 1):
+    """Compact ``keep``'s rows to the front of every array and zero-pad.
+
+    Returns ``(padded dict, (n,) float32 validity mask)``.  Raises when
+    fewer than ``min_valid`` rows survived hole-cutting — silently padding
+    below the encoder's neighbourhood/downsample sizes would let masked
+    (origin) points into neighbourhoods and corrupt results.
+    """
+    n = len(next(iter(arrays.values())))
+    if len(keep) < min_valid:
+        raise ValueError(
+            f"partial shape kept only {len(keep)} of {n} points, below the "
+            f"encoder's minimum of {min_valid} (largest neighbourhood / "
+            "first downsample target); raise data.partial_shape_ratio or "
+            "shrink the model's npoints_per_layer/nneighbor"
+        )
+    pad = compact_pad(keep, n)
+    valid = np.zeros((n,), np.float32)
+    valid[: len(keep)] = 1.0
+    return {k: pad(v) for k, v in arrays.items()}, valid
+
+
 def user_defined_handles(
     userhandle_cfg: Dict,
     verts_cano: np.ndarray,

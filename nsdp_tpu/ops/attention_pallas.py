@@ -417,7 +417,7 @@ def _attn_bwd_kernel(
     dgb1_ref[0] += dgb1_a
 
 
-def _pack_xk(kv_xyz, K_a, m_pad, compute_dtype=None):
+def _pack_xk(kv_xyz, K_a, m_pad):
     """Build the packed gather table [coords (8 lanes) | K (D lanes)].
 
     Coordinates stay f32 (the position-encoding delta must be exact);
@@ -506,11 +506,9 @@ def fused_vector_attention(
         ((0, 0), (0, 5), (0, m_pad - M)),
     )
     if kv_mask is not None:
-        # finite penalty (not inf: keeps the d2 == min comparison exact)
-        # that dwarfs any real squared distance
-        penalty = jnp.where(kv_mask != 0, 0.0, 1e30).astype(_F32)
-        penalty = jnp.pad(penalty, ((0, 0), (0, m_pad - M)))
-        kvt = kvt.at[:, 3, :].set(penalty)
+        from nsdp_tpu.ops.knn import mask_penalty
+
+        kvt = kvt.at[:, 3, :].set(mask_penalty(kv_mask, m_pad))
     xk, w_lanes = _pack_xk(kv_xyz, None if pos_only else K_a, m_pad)
     if pos_only:
         qf = jnp.zeros((B, q_pad, 1), _F32)
@@ -808,7 +806,13 @@ def _kva_bwd(k, tile, interpret, residuals, g):
     (dxyzq, dkvxyz, dq, dK, dV,
      ddw0, ddb0, ddw1, ddb1, dgw0, dgb0, dgw1, dgb1,
      dk_glob, dv_glob) = grads
-    dkv_mask = None if kv_mask is None else jnp.zeros_like(kv_mask)
+    if kv_mask is None:
+        dkv_mask = None
+    elif jnp.issubdtype(kv_mask.dtype, jnp.floating):
+        dkv_mask = jnp.zeros_like(kv_mask)
+    else:
+        # bool/int masks take a float0 cotangent under custom_vjp
+        dkv_mask = jnp.zeros(kv_mask.shape, dtype=jax.dtypes.float0)
     return (
         dxyzq, dkvxyz, dq, dK, dV, dk_glob, dv_glob, dkv_mask,
         ddw0, ddb0, ddw1, ddb1, dgw0, dgb0, dgw1, dgb1,

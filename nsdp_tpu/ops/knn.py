@@ -18,6 +18,18 @@ import jax
 import jax.numpy as jnp
 
 
+def mask_penalty(kv_mask: jax.Array, m_pad: int) -> jax.Array:
+    """Additive squared-distance penalty for masked kv points.
+
+    Finite (not +inf: keeps ``d2 == min`` comparisons exact in the Pallas
+    selection loops) yet dwarfing any real squared distance, so masked
+    points sort after every selectable one.  ``(B, M)`` mask, nonzero =
+    selectable, zero-padded to ``m_pad`` lanes.
+    """
+    p = jnp.where(kv_mask != 0, 0.0, 1e30).astype(jnp.float32)
+    return jnp.pad(p, ((0, 0), (0, m_pad - p.shape[-1])))
+
+
 def square_distance(src: jax.Array, dst: jax.Array) -> jax.Array:
     """Pairwise squared euclidean distance, (B, N, C) x (B, M, C) -> (B, N, M).
 
@@ -91,8 +103,7 @@ def knn_xla(
     points = points.astype(jnp.float32)
     p_sq = jnp.sum(points * points, axis=-1)  # (B, M)
     if kv_mask is not None:
-        # additive penalty: masked points sort after every real neighbour
-        p_sq = p_sq + jnp.where(kv_mask != 0, 0.0, 1e30)
+        p_sq = p_sq + mask_penalty(kv_mask, M)
 
     n_chunks = -(-Nq // chunk_size)
     padded = n_chunks * chunk_size

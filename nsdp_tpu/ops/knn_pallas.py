@@ -104,11 +104,9 @@ def knn_pallas(
     pt = jnp.swapaxes(points.astype(jnp.float32), 1, 2)
     pt = jnp.pad(pt, ((0, 0), (0, 5), (0, m_pad - M)))
     if kv_mask is not None:
-        # Penalty (not +inf: finite keeps min/= comparisons exact) dwarfs any
-        # real squared distance; masked points sort after every valid one.
-        penalty = jnp.where(kv_mask != 0, 0.0, 1e30).astype(jnp.float32)
-        penalty = jnp.pad(penalty, ((0, 0), (0, m_pad - M)))
-        pt = pt.at[:, 3, :].set(penalty)
+        from nsdp_tpu.ops.knn import mask_penalty
+
+        pt = pt.at[:, 3, :].set(mask_penalty(kv_mask, m_pad))
 
     n_tiles = nq_pad // tile
     grid = (B, n_tiles)

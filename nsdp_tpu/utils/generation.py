@@ -99,12 +99,22 @@ def generate_pointclouds(
     src_file, cano_file, deform_file, target_file, handle_file = files
 
     inputs = np.asarray(out_dict["surface_samples_inputs"]).squeeze()
-    pc_src = inputs[:, 0:3]
-    pc_handle = inputs[:, 3:6]
-    handle_mask = inputs[:, 6] > 0
     pc_deform = np.asarray(out_dict["surface_samples_tgt_pred"]).squeeze()
     pc_tgt = np.asarray(out_dict["surface_samples_tgt"]).squeeze()
     pc_cano = np.asarray(out_dict["surface_samples_cano"]).squeeze()
+    if "surface_valid_mask" in out_dict:
+        # static-shape partial shapes (data.pad_partial_shapes): drop the
+        # zero-padded rows so saved clouds contain only real points
+        valid = np.asarray(out_dict["surface_valid_mask"]).squeeze() != 0
+        inputs = inputs[valid]
+        pc_deform, pc_tgt, pc_cano = (
+            pc_deform[valid], pc_tgt[valid], pc_cano[valid]
+        )
+    # With use_normals the conditioning is 10-channel
+    # [src(3), normals(3), masked tgt(3), mask(1)]; slice accordingly.
+    pc_src = inputs[:, 0:3]
+    pc_handle = inputs[:, -4:-1]
+    handle_mask = inputs[:, -1] > 0
 
     meshio.save_pointcloud(
         src_file, pc_src, _handle_colors(len(pc_src), handle_mask, _RED)

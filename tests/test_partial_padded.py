@@ -286,6 +286,53 @@ def test_train_step_padded_equals_compacted(rng):
         np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-6)
 
 
+def test_bool_mask_grad(rng):
+    """A bool validity mask must work under jax.grad (float0 cotangent)."""
+    from nsdp_tpu.ops.attention_pallas import knn_vector_attention
+
+    d, k = 6, 3
+    pts, mask, _ = _prefix_case(rng, n=64, n_valid=40, b=1)
+    bool_mask = jnp.asarray(np.asarray(mask) != 0)
+    qf = jnp.asarray(rng.randn(1, 24, d).astype(np.float32))
+    q_xyz = jnp.asarray(rng.randn(1, 24, 3).astype(np.float32))
+    K = jnp.asarray(rng.randn(1, 64, d).astype(np.float32))
+    V = jnp.asarray(rng.randn(1, 64, d).astype(np.float32))
+    w = [jnp.asarray(rng.randn(*s).astype(np.float32))
+         for s in [(3, d), (d,), (d, d), (d,), (d, d), (d,), (d, d), (d,)]]
+
+    def loss(qf):
+        out = knn_vector_attention(
+            q_xyz, pts, qf, K, V, None, None, bool_mask, *w, k, 128, True
+        )
+        return jnp.sum(out**2)
+
+    g = jax.grad(loss)(qf)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_pad_partial_min_valid_raises(rng):
+    """Keeping fewer rows than the encoder minimum must fail loudly."""
+    from nsdp_tpu.data import transforms as T
+
+    arrays = {"a": rng.randn(64, 3).astype(np.float32)}
+    keep = np.arange(5)
+    with pytest.raises(ValueError, match="below the encoder's minimum"):
+        T.pad_partial_static(keep, arrays, min_valid=16)
+    padded, valid = T.pad_partial_static(keep, arrays, min_valid=5)
+    assert int(valid.sum()) == 5 and padded["a"].shape == (64, 3)
+
+
+def test_min_valid_points_from_config():
+    from nsdp_tpu.data import transforms as T
+
+    cfg = {"model": {"encoder_kwargs": {
+        "npoints_per_layer": [128, 24, 12], "nneighbor": 8,
+        "nneighbor_reduced": 6,
+    }}}
+    assert T.min_valid_points(cfg) == 24
+    assert T.min_valid_points({}) == 1
+
+
 def test_dataset_pad_partial_collates(rng, tmp_path):
     """Partial-shape items collate at batch > 1 with pad_partial_shapes."""
     from nsdp_tpu.data import dataset_dict, DataLoader
