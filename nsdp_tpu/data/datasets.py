@@ -48,7 +48,17 @@ class Deform4DFlowDataset:
         self.dataset_type = cfg["data"]["type"]
         self.dataset_dir = cfg["data"]["dataset_dir"]
         self.split_dir = cfg["data"]["split_dir"]
-        self.rng = rng if rng is not None else np.random
+        # Subsampling/noise RNG: a PCG64 Generator — its O(k) Floyd-style
+        # choice(replace=False, shuffle=False) replaces RandomState's O(N)
+        # permutation, the warm-cache assembly hot spot at stage-1 scale
+        # (scripts/bench_loader.py).  A legacy RandomState seeds the
+        # Generator deterministically for API compatibility.
+        if rng is None:
+            self.rng = np.random.default_rng()
+        elif isinstance(rng, np.random.RandomState):
+            self.rng = np.random.default_rng(int(rng.randint(0, 2**31 - 1)))
+        else:
+            self.rng = rng
         self.is_train = motion_split[:5] == "train"
 
         self.all_deform_pairs: List[Dict] = []
@@ -185,6 +195,10 @@ class Deform4DFlowDataset:
             "surface_samples": surf,
             "surface_normals": normals,
             "space_samples": space,
+            # bbox computed once per frame (it feeds every pair sharing the
+            # frame): at stage-1 scale the min/max over the full 100k-point
+            # cloud was ~40% of warm-cache item assembly
+            "surface_bbox": (surf.min(axis=0), surf.max(axis=0)),
         }
         if self.load_mesh:
             verts, edges, faces = T.load_mesh_info(
@@ -196,7 +210,8 @@ class Deform4DFlowDataset:
                 )
             if dcfg["fix_coord_system"]:
                 verts = T.fix_coord_system(verts)
-            out.update(verts=verts, edges=edges, faces=faces)
+            out.update(verts=verts, edges=edges, faces=faces,
+                       verts_bbox=(verts.min(axis=0), verts.max(axis=0)))
         return out
 
     def _resolve_pair_dirs(self, index: int):
@@ -236,7 +251,7 @@ class Deform4DFlowDataset:
             data_src["surface_samples"],
             data_tgt["surface_samples"],
         )
-        bbox_min, bbox_max = s_cano.min(axis=0), s_cano.max(axis=0)
+        bbox_min, bbox_max = data_cano["surface_bbox"]
         (s_cano, s_src, s_tgt), idxs = T.subsample_shared(
             [s_cano, s_src, s_tgt], dcfg["num_surf_samples"], rng=self.rng
         )
@@ -329,7 +344,7 @@ class Deform4DFlowDataset:
             verts_cano = data_cano["verts"]
             verts_src = data_src["verts"]
             verts_tgt = data_tgt["verts"]
-            vb_min, vb_max = verts_cano.min(axis=0), verts_cano.max(axis=0)
+            vb_min, vb_max = data_cano["verts_bbox"]
             vhandle = T.handle_mask_bbox(
                 verts_cano, vb_min, vb_max, dcfg["partial_range"]
             )

@@ -71,7 +71,13 @@ def subsample_shared(
     rng = rng or np.random
     n = arrays[0].shape[0]
     if idxs is None:
-        idxs = rng.permutation(n)[:num_samples]
+        if isinstance(rng, np.random.Generator):
+            # O(num_samples) Floyd-style sampling — the O(n) legacy
+            # permutation was the warm-cache assembly hot spot at
+            # stage-1 scale (n=100k/200k per frame)
+            idxs = rng.choice(n, num_samples, replace=False, shuffle=False)
+        else:
+            idxs = rng.permutation(n)[:num_samples]
     return [a[idxs] for a in arrays], idxs
 
 
@@ -102,7 +108,10 @@ def handle_mask_bbox(
 
 def add_noise(points: np.ndarray, noise_level: float, rng=None) -> np.ndarray:
     rng = rng or np.random
-    return points + noise_level * rng.randn(*points.shape).astype(np.float32)
+    # standard_normal: present on both RandomState and Generator (randn is
+    # RandomState-only)
+    noise = rng.standard_normal(points.shape).astype(np.float32)
+    return points + noise_level * noise
 
 
 def partial_shape_indices(
