@@ -324,10 +324,13 @@ class TransformerSetAbstraction(fnn.Module):
             g2w = TwoLayerMLPWeights(self.dim, name="fc_gamma2")(self.dim)
             kk = min(self.nneigh, xyz.shape[1])
             q1 = index_points(dense("w_qs")(points), fps_idx)
+            # tile 512: measured best for the set-abstraction shapes
+            # (few hundred centres; the backward's per-slot temporaries
+            # fit VMEM since the residual-saving rework)
             res1 = knn_vector_attention(
                 -new_xyz, -xyz, q1,
                 dense("w_ks")(points), dense("w_vs")(points),
-                None, None, kv_mask, *dw, *g1w, kk,
+                None, None, kv_mask, *dw, *g1w, kk, 512,
             )
             h = fnn.Dense(self.dim, dtype=self.dtype, name="conv1")(res1)
             h = fnn.relu(BatchNorm(dtype=self.dtype, name="bn1")(h, train))
@@ -339,7 +342,7 @@ class TransformerSetAbstraction(fnn.Module):
             res2 = knn_vector_attention(
                 -new_xyz, -xyz, q2,
                 dense("w_ks2")(points), dense("w_vs2")(points),
-                None, None, kv_mask, *dw, *g2w, kk,
+                None, None, kv_mask, *dw, *g2w, kk, 512,
             )
             new_points = BatchNorm(dtype=self.dtype, name="bnorm1")(
                 res1 + res2, train
@@ -489,11 +492,13 @@ class CrossTransformerBlock(fnn.Module):
             k_glob = dense("w_k_global")(lat_rep)
             v_glob = dense("w_v_global")(lat_rep)
             qf = jnp.broadcast_to(q_glob[:, None, :], (B, nQ, self.dim))
+            # tile 512: 25% faster fwd+bwd than 128 at decoder shapes
+            # (small anchor set, weight-grad matmuls amortise over rows)
             res = knn_vector_attention(
                 xyz_q, xyz, qf,
                 dense("w_ks")(points), dense("w_vs")(points),
                 k_glob, v_glob, None, *dw, *gw,
-                min(self.nneigh, xyz.shape[1]),
+                min(self.nneigh, xyz.shape[1]), 512,
             )
             if not self.reduce_dim:
                 res = fnn.Dense(self.dim_inp, dtype=self.dtype, name="fc")(res)
