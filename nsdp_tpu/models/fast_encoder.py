@@ -39,13 +39,15 @@ def _mlp_weights(p):
     )
 
 
-def _transformer_block(p, s, xyz, feats, k, pos_only, interpret, compute_dtype=None):
+def _transformer_block(p, s, xyz, feats, k, pos_only, interpret,
+                       compute_dtype=None, kv_mask=None):
     """TransformerBlock (local kNN) with fused attention + residual + BN."""
     if pos_only:
         res = fused_vector_attention(
             xyz, xyz, None, None, None,
             *_mlp_weights(p["fc_delta"]), *_mlp_weights(p["fc_gamma"]),
             k=k, interpret=interpret, compute_dtype=compute_dtype,
+            kv_mask=kv_mask,
         )
     else:
         res = fused_vector_attention(
@@ -55,6 +57,7 @@ def _transformer_block(p, s, xyz, feats, k, pos_only, interpret, compute_dtype=N
             feats @ p["w_vs"]["kernel"],
             *_mlp_weights(p["fc_delta"]), *_mlp_weights(p["fc_gamma"]),
             k=k, interpret=interpret, compute_dtype=compute_dtype,
+            kv_mask=kv_mask,
         )
         res = res + feats
     return _bn(p["bn"], s["bn"], res)
@@ -80,9 +83,13 @@ def _elementwise(p, s, x):
     return _bn(p["bn3"], s["bn3"], x + h)
 
 
-def _set_abstraction(p, s, xyz, points, npoint, k, interpret, compute_dtype=None):
+def _set_abstraction(p, s, xyz, points, npoint, k, interpret,
+                     compute_dtype=None, kv_mask=None):
     """TransformerSetAbstraction with two fused cross-attention rounds."""
     xyz_ng = jax.lax.stop_gradient(xyz)
+    if kv_mask is not None:
+        # masked points go to the origin, which FPS never selects
+        xyz_ng = xyz_ng * kv_mask[..., None].astype(xyz_ng.dtype)
     fps_idx = furthest_point_sample(xyz_ng, npoint)
     new_xyz = index_points(xyz, fps_idx)
 
@@ -97,6 +104,7 @@ def _set_abstraction(p, s, xyz, points, npoint, k, interpret, compute_dtype=None
     res1 = fused_vector_attention(
         nq_xyz, nkv_xyz, q1, K1, V1, *delta, *_mlp_weights(p["fc_gamma1"]),
         k=k, interpret=interpret, compute_dtype=compute_dtype,
+        kv_mask=kv_mask,
     )
 
     h = _dense(p["conv1"], res1)
@@ -110,6 +118,7 @@ def _set_abstraction(p, s, xyz, points, npoint, k, interpret, compute_dtype=None
     res2 = fused_vector_attention(
         nq_xyz, nkv_xyz, q2, K2, V2, *delta, *_mlp_weights(p["fc_gamma2"]),
         k=k, interpret=interpret, compute_dtype=compute_dtype,
+        kv_mask=kv_mask,
     )
 
     out = _bn(p["bnorm1"], s["bnorm1"], res1 + res2)
@@ -118,13 +127,17 @@ def _set_abstraction(p, s, xyz, points, npoint, k, interpret, compute_dtype=None
 
 
 def encode_fast(encoder_module, params, batch_stats, xyz, interpret=False,
-                compute_dtype=None):
+                compute_dtype=None, point_mask=None):
     """PointTransformerEncoder forward from raw params (eval mode).
 
     Args:
       encoder_module: the (unbound) flax encoder, for its hyper-parameters.
       params / batch_stats: the encoder's variable subtrees.
       xyz: (B, N, 3) or (B, N, 3+F) when the encoder has features.
+      point_mask: optional (B, N), nonzero = real conditioning point
+        (static-shape partial point clouds; padded rows must be zero) —
+        same contract as the flax encoder's ``point_mask``.  BatchNorm
+        needs no masking here: the fast path is eval-only (running stats).
 
     Returns:
       {'z', 'anchors', 'anchor_feats'} like the flax encoder.
@@ -136,11 +149,13 @@ def encode_fast(encoder_module, params, batch_stats, xyz, interpret=False,
         feats = _transformer_block(
             params["transformer_begin"], batch_stats["transformer_begin"],
             xyz, feats, enc.nneighbor_reduced, False, interpret, compute_dtype,
+            kv_mask=point_mask,
         )
     else:
         feats = _transformer_block(
             params["transformer_begin"], batch_stats["transformer_begin"],
             xyz, None, enc.nneighbor_reduced, True, interpret, compute_dtype,
+            kv_mask=point_mask,
         )
 
     n_levels = len(enc.npoints_per_layer) - 1
@@ -151,7 +166,7 @@ def encode_fast(encoder_module, params, batch_stats, xyz, interpret=False,
             params[f"transition_downs_{i}"]["sa"],
             batch_stats[f"transition_downs_{i}"]["sa"],
             xyz, feats, new_n, min(enc.nneighbor, old_n), interpret,
-            compute_dtype,
+            compute_dtype, kv_mask=point_mask if i == 0 else None,
         )
         feats = _elementwise(
             params[f"elementwise_extras_{i}"],

@@ -30,22 +30,23 @@ from nsdp_tpu.models.encoders import PointTransformerEncoder
 
 
 def _encode(encoder, params, batch_stats, conditioning, interpret,
-            compute_dtype=None):
+            compute_dtype=None, point_mask=None):
     """Fused raw-param encoder when available, flax apply otherwise."""
     if isinstance(encoder, PointTransformerEncoder):
         return encode_fast(
             encoder, params, batch_stats, conditioning, interpret=interpret,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, point_mask=point_mask,
         )
     return encoder.apply(
         {"params": params, "batch_stats": batch_stats},
         conditioning,
-        train=False,
+        False,
+        point_mask,
     )
 
 
 def _encoder_apply(net, variables, prefix, conditioning, interpret=False,
-                   compute_dtype=None):
+                   compute_dtype=None, point_mask=None):
     return _encode(
         net.encoder,
         variables["params"][prefix]["encoder"],
@@ -53,6 +54,7 @@ def _encoder_apply(net, variables, prefix, conditioning, interpret=False,
         conditioning,
         interpret,
         compute_dtype,
+        point_mask,
     )
 
 
@@ -75,10 +77,10 @@ def make_fast_arbitrary_halves(
     bwd = model.model_canonicalize
     fwd = model.model_deform
 
-    def canonicalize(variables, points, surf_src):
+    def canonicalize(variables, points, surf_src, point_mask=None):
         enc_b = _encoder_apply(
             bwd, variables, "model_canonicalize", surf_src, interpret,
-            compute_dtype,
+            compute_dtype, point_mask,
         )
         bwd_dec = variables["params"]["model_canonicalize"]["decoder"]
         space_cano = decode_fast(
@@ -89,13 +91,21 @@ def make_fast_arbitrary_halves(
             bwd_dec, surf_src, enc_b, nneigh=nneigh, interpret=interpret,
             compute_dtype=compute_dtype,
         )
+        if point_mask is not None:
+            # padded surface rows decode to garbage; re-zero so the forward
+            # conditioning keeps its padding at the origin (same contract
+            # as FlowArbitrary.__call__)
+            surf_cano = surf_cano * point_mask[..., None].astype(
+                surf_cano.dtype
+            )
         return space_cano, surf_cano
 
-    def deform(variables, space_cano, surf_cano, surf_tgt, mask):
+    def deform(variables, space_cano, surf_cano, surf_tgt, mask,
+               point_mask=None):
         conditioning = jnp.concatenate([surf_cano, surf_tgt, mask], axis=-1)
         enc_f = _encoder_apply(
             fwd, variables, "model_deform", conditioning, interpret,
-            compute_dtype,
+            compute_dtype, point_mask,
         )
         return decode_fast(
             variables["params"]["model_deform"]["decoder"], space_cano,
@@ -110,6 +120,7 @@ def make_fast_predict(
     model, variables, model_type: str, nneigh: int = 7,
     interpret: bool = False, compute_dtype=None,
     mesh: Optional[Any] = None,
+    with_mask: bool = False,
 ):
     """Build the jitted fused predict function.
 
@@ -121,6 +132,9 @@ def make_fast_predict(
       nneigh: decoder anchor neighbourhood (config ``decoder_kwargs.nneigh``).
       mesh: optional ('data','query') device mesh; when given, the batch
         axis is sharded over 'data' and the query axis over 'query'.
+      with_mask: the returned callable takes a third ``point_mask`` (B, N)
+        argument marking real conditioning rows (static-shape partial
+        point clouds, same contract as the flax ``point_mask``).
     """
     if model_type in ("forward", "backward"):
         no_corr = model_type == "backward"
@@ -128,7 +142,8 @@ def make_fast_predict(
         # channel contract in models/deformation.py)
         cond_end = 6 if getattr(model, "use_normals", False) else 3
 
-        def predict_impl(variables, points, surface_samples_inputs):
+        def predict_impl(variables, points, surface_samples_inputs,
+                         point_mask=None):
             cond = (
                 surface_samples_inputs[:, :, 0:cond_end]
                 if no_corr
@@ -141,6 +156,7 @@ def make_fast_predict(
                 cond,
                 interpret,
                 compute_dtype,
+                point_mask,
             )
             return decode_fast(
                 variables["params"]["decoder"], points, encoding,
@@ -154,22 +170,26 @@ def make_fast_predict(
             compute_dtype=compute_dtype,
         )
 
-        def predict_impl(variables, points, surface_samples_inputs):
+        def predict_impl(variables, points, surface_samples_inputs,
+                         point_mask=None):
             surf_src = surface_samples_inputs[:, :, 0:3]
             surf_tgt = surface_samples_inputs[:, :, 3:6]
             mask = surface_samples_inputs[:, :, 6:7]
             space_cano, surf_cano = halves["canonicalize"](
-                variables, points, surf_src
+                variables, points, surf_src, point_mask
             )
             return halves["deform"](
-                variables, space_cano, surf_cano, surf_tgt, mask
+                variables, space_cano, surf_cano, surf_tgt, mask, point_mask
             )
 
     else:
         raise ValueError(model_type)
 
     if mesh is None:
-        return jax.jit(partial(predict_impl, variables))
+        fn = jax.jit(partial(predict_impl, variables))
+        if with_mask:
+            return fn
+        return lambda points, inputs: fn(points, inputs)
 
     # shard_map: batch over 'data', queries over 'query', weights replicated.
     # The conditioning cloud is replicated along 'query' (every query shard
@@ -178,8 +198,21 @@ def make_fast_predict(
     # at serving Q (the decode is the linear-in-Q cost being sharded).
     from jax.experimental.shard_map import shard_map
 
+    if with_mask:
+        mapped = shard_map(
+            predict_impl,
+            mesh=mesh,
+            in_specs=(P(), P("data", "query"), P("data"), P("data")),
+            out_specs=P("data", "query"),
+            check_rep=False,
+        )
+        return jax.jit(partial(mapped, variables))
+
+    def impl_nomask(variables, points, inputs):
+        return predict_impl(variables, points, inputs)
+
     mapped = shard_map(
-        predict_impl,
+        impl_nomask,
         mesh=mesh,
         in_specs=(P(), P("data", "query"), P("data")),
         out_specs=P("data", "query"),

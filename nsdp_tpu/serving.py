@@ -80,6 +80,7 @@ class DeformationService:
         self._interpret = bool(interpret)
         self._mesh = mesh
         self._halves = None  # built lazily by edit_session
+        self._predict_masked = None  # built lazily on first masked deform
         if use_fused:
             from nsdp_tpu.models.fast_predict import make_fast_predict
 
@@ -136,14 +137,36 @@ class DeformationService:
             pts = jnp.asarray(rng.randn(1, b, 3), jnp.float32)
             np.asarray(self._predict(pts, inputs))
 
+    def _masked_predict(self):
+        if self._predict_masked is None:
+            from nsdp_tpu.models.fast_predict import make_fast_predict
+
+            self._predict_masked = make_fast_predict(
+                self.model,
+                self._variables,
+                self.model_type,
+                nneigh=self.config["model"]["decoder_kwargs"].get("nneigh", 7),
+                interpret=self._interpret,
+                mesh=self._mesh,
+                with_mask=True,
+            )
+        return self._predict_masked
+
     def deform(
-        self, points: np.ndarray, surface_samples_inputs: np.ndarray
+        self,
+        points: np.ndarray,
+        surface_samples_inputs: np.ndarray,
+        point_mask: Optional[np.ndarray] = None,
     ) -> np.ndarray:
         """Evaluate the deformation field.
 
         Args:
           points: (Q, 3) or (B, Q, 3) query positions.
           surface_samples_inputs: (N, 7) or (B, N, 7) conditioning.
+          point_mask: optional (N,) or (B, N) validity mask for padded
+            partial conditioning clouds (``data.pad_partial_shapes``
+            contract: padded rows zero, nonzero = real point).  Requires
+            the fused path.
 
         Returns:
           deformed positions, same leading shape as ``points``.
@@ -153,6 +176,8 @@ class DeformationService:
         if squeeze:
             points = points[None]
             surface_samples_inputs = surface_samples_inputs[None]
+            if point_mask is not None:
+                point_mask = np.asarray(point_mask)[None]
         q = points.shape[1]
         target = self._bucket(q)
         if target != q:
@@ -160,12 +185,25 @@ class DeformationService:
             padded = np.concatenate([points, pad], axis=1)
         else:
             padded = points
-        out = np.asarray(
-            self._predict(
-                jnp.asarray(padded, jnp.float32),
-                jnp.asarray(surface_samples_inputs, jnp.float32),
-            )
-        )[:, :q]
+        if point_mask is not None:
+            if not self._use_fused:
+                raise ValueError(
+                    "masked (partial-shape) serving requires the fused path"
+                )
+            out = np.asarray(
+                self._masked_predict()(
+                    jnp.asarray(padded, jnp.float32),
+                    jnp.asarray(surface_samples_inputs, jnp.float32),
+                    jnp.asarray(point_mask, jnp.float32),
+                )
+            )[:, :q]
+        else:
+            out = np.asarray(
+                self._predict(
+                    jnp.asarray(padded, jnp.float32),
+                    jnp.asarray(surface_samples_inputs, jnp.float32),
+                )
+            )[:, :q]
         return out[0] if squeeze else out
 
     # -- interactive editing sessions -----------------------------------------

@@ -333,6 +333,52 @@ def test_min_valid_points_from_config():
     assert T.min_valid_points({}) == 1
 
 
+@pytest.mark.parametrize("model_type", ["forward", "arbitrary"])
+def test_fast_predict_masked_equals_compacted(rng, model_type):
+    """The fused inference path honours point_mask (with_mask=True)."""
+    from nsdp_tpu.models import build_model
+    from nsdp_tpu.models.fast_predict import make_fast_predict
+    from nsdp_tpu.training import create_train_state, optimizer_factory
+
+    cfg = _tiny_config(model_type, fused=True)
+    model = build_model(cfg)
+    padded, compact, mask = _partial_inputs(rng)
+    queries = jnp.asarray(rng.randn(1, 40, 3).astype(np.float32))
+
+    _, tx = optimizer_factory(cfg["training"])
+    if model_type == "arbitrary":
+        example = (queries, compact[:, :, 0:3], compact[:, :, 3:6],
+                   compact[:, :, 6:7])
+    else:
+        example = (queries, compact)
+    state = create_train_state(model, jax.random.PRNGKey(0), example, tx)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    nneigh = cfg["model"]["decoder_kwargs"]["nneigh"]
+
+    plain = make_fast_predict(model, variables, model_type, nneigh=nneigh,
+                              interpret=True)
+    masked = make_fast_predict(model, variables, model_type, nneigh=nneigh,
+                               interpret=True, with_mask=True)
+    want = np.asarray(plain(queries, compact))
+    got = np.asarray(masked(queries, padded, mask))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_serving_masked_deform(rng):
+    """DeformationService.deform accepts a validity mask on the fused path."""
+    from nsdp_tpu.serving import DeformationService
+
+    cfg = _tiny_config("forward", fused=True)
+    cfg["data"].update(type="deform4d", dataset_dir=".", split_dir=".")
+    svc = DeformationService(cfg, buckets=(64,), use_fused=True,
+                            interpret=True)
+    padded, compact, mask = _partial_inputs(rng)
+    queries = rng.randn(40, 3).astype(np.float32)
+    want = svc.deform(queries, np.asarray(compact)[0])
+    got = svc.deform(queries, np.asarray(padded)[0], np.asarray(mask)[0])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 def test_dataset_pad_partial_collates(rng, tmp_path):
     """Partial-shape items collate at batch > 1 with pad_partial_shapes."""
     from nsdp_tpu.data import dataset_dict, DataLoader
