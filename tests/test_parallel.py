@@ -147,3 +147,26 @@ def test_sharded_fast_predict_matches_single_device(axes):
     np.testing.assert_allclose(
         np.asarray(out_1), np.asarray(out_m), rtol=1e-3, atol=1e-3
     )
+
+
+def test_multihost_helpers_single_process():
+    """Single-process degenerate semantics of the multi-host input feeding:
+    the process owns the whole batch and globalize produces 'data'-sharded
+    arrays with unchanged values (multi-process behaviour is the same code
+    path through jax.make_array_from_process_local_data)."""
+    import jax
+    import numpy as np
+
+    from nsdp_tpu.parallel import make_mesh
+    from nsdp_tpu.parallel.multihost import globalize_batch, process_batch_slice
+
+    assert process_batch_slice(8) == slice(0, 8)
+
+    mesh = make_mesh(data=4, query=1, devices=jax.devices()[:4])
+    batch = {
+        "a": np.arange(8 * 3, dtype=np.float32).reshape(8, 3),
+        "scalar": np.float32(5.0),
+    }
+    g = globalize_batch(batch, mesh)
+    np.testing.assert_array_equal(np.asarray(g["a"]), batch["a"])
+    assert g["a"].sharding.spec == jax.sharding.PartitionSpec("data")
