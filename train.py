@@ -187,12 +187,25 @@ def main(argv):
         lr = lr_schedule.get_learning_rate(epoch)
         profile_this_epoch = args.profile_dir and epoch == args.continue_from_epoch
         with trace_steps(args.profile_dir if profile_this_epoch else None):
+            # Deferred loss fetch: float(loss) blocks on the device, so
+            # reading step b's loss only after dispatching step b+1 keeps
+            # the host one step ahead and the device queue never drains
+            # (same values reach the logger, printed one step late).
+            pending = None
             for b, batch in enumerate(train_loader):
                 batch = shard_batch(batch, mesh)
                 state, loss = steps["train_step"](state, batch, lr)
+                if pending is not None:
+                    pb, pl = pending
+                    timer.tick()
+                    logger["steps_per_sec"].value = timer.steps_per_sec
+                    logger.print_progress(epoch + 1, pb + 1, float(pl))
+                pending = (b, loss)
+            if pending is not None:
+                pb, pl = pending
                 timer.tick()
                 logger["steps_per_sec"].value = timer.steps_per_sec
-                logger.print_progress(epoch + 1, b + 1, float(loss))
+                logger.print_progress(epoch + 1, pb + 1, float(pl))
 
         if (epoch % save_every) == 0:
             checkpointer.save(epoch, state, experiment_directory)
