@@ -324,13 +324,14 @@ class TransformerSetAbstraction(fnn.Module):
             g2w = TwoLayerMLPWeights(self.dim, name="fc_gamma2")(self.dim)
             kk = min(self.nneigh, xyz.shape[1])
             q1 = index_points(dense("w_qs")(points), fps_idx)
-            # tile 512: measured best for the set-abstraction shapes
-            # (few hundred centres; the backward's per-slot temporaries
-            # fit VMEM since the residual-saving rework)
+            # tile stays at the 128 default: 512 is ~6% faster in isolation
+            # but k unrolled (T, M) one-hots live at once put the kernel at
+            # ~117 MB scoped VMEM — over the 100 MB limit in some fusion
+            # contexts (flagship k=16, M=5000)
             res1 = knn_vector_attention(
                 -new_xyz, -xyz, q1,
                 dense("w_ks")(points), dense("w_vs")(points),
-                None, None, kv_mask, *dw, *g1w, kk, 512,
+                None, None, kv_mask, *dw, *g1w, kk,
             )
             h = fnn.Dense(self.dim, dtype=self.dtype, name="conv1")(res1)
             h = fnn.relu(BatchNorm(dtype=self.dtype, name="bn1")(h, train))
@@ -342,7 +343,7 @@ class TransformerSetAbstraction(fnn.Module):
             res2 = knn_vector_attention(
                 -new_xyz, -xyz, q2,
                 dense("w_ks2")(points), dense("w_vs2")(points),
-                None, None, kv_mask, *dw, *g2w, kk, 512,
+                None, None, kv_mask, *dw, *g2w, kk,
             )
             new_points = BatchNorm(dtype=self.dtype, name="bnorm1")(
                 res1 + res2, train
