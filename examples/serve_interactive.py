@@ -49,10 +49,13 @@ def main():
 
     # Fresh (untrained) weights: the demo shows the serving mechanics;
     # point test.weight_file at a trained checkpoint for real edits.
+    # use_fused: forced on with --interpret (Pallas interpreter on CPU),
+    # otherwise auto — fused on TPU, flax fallback on CPU.
     print("== building service ==")
     svc = DeformationService(
         cfg, buckets=(512,),
-        use_fused=True, interpret=args.interpret or None,
+        use_fused=True if args.interpret else None,
+        interpret=args.interpret or None,
     )
 
     rng = np.random.RandomState(0)
@@ -78,13 +81,15 @@ def main():
             f"mean |dv| = {np.abs(deformed - verts).mean():.4f}"
         )
 
-    print("== full evaluation for comparison ==")
+    print("== full evaluation of the last drag for comparison ==")
     mask = handle[:, None]
-    inputs = np.concatenate([surf, (surf * mask), mask], axis=1)
+    inputs = np.concatenate([surf, target * mask, mask], axis=1)
     t0 = time.perf_counter()
     out = svc.deform(verts, inputs)
-    print(f"   full deform: {time.perf_counter() - t0:.2f}s wall, "
-          f"shape {out.shape}")
+    print(
+        f"   full deform: {time.perf_counter() - t0:.2f}s wall; "
+        f"max |session - full| = {np.abs(out - deformed).max():.2e}"
+    )
 
 
 if __name__ == "__main__":

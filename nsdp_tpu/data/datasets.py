@@ -52,9 +52,14 @@ class Deform4DFlowDataset:
         # choice(replace=False, shuffle=False) replaces RandomState's O(N)
         # permutation, the warm-cache assembly hot spot at stage-1 scale
         # (scripts/bench_loader.py).  A legacy RandomState seeds the
-        # Generator deterministically for API compatibility.
+        # Generator deterministically for API compatibility; the default
+        # seeds from the GLOBAL np.random stream so the CLIs' --seed
+        # (np.random.seed in train.py/test.py/run.py) keeps controlling
+        # data randomness, as in the reference.
         if rng is None:
-            self.rng = np.random.default_rng()
+            self.rng = np.random.default_rng(
+                int(np.random.randint(0, 2**31 - 1))
+            )
         elif isinstance(rng, np.random.RandomState):
             self.rng = np.random.default_rng(int(rng.randint(0, 2**31 - 1)))
         else:

@@ -71,12 +71,14 @@ def subsample_shared(
     rng = rng or np.random
     n = arrays[0].shape[0]
     if idxs is None:
-        if isinstance(rng, np.random.Generator):
+        if isinstance(rng, np.random.Generator) and num_samples < n:
             # O(num_samples) Floyd-style sampling — the O(n) legacy
             # permutation was the warm-cache assembly hot spot at
             # stage-1 scale (n=100k/200k per frame)
             idxs = rng.choice(n, num_samples, replace=False, shuffle=False)
         else:
+            # num_samples >= n keeps the lenient legacy semantics:
+            # all n rows, randomly ordered (Generator.choice would raise)
             idxs = rng.permutation(n)[:num_samples]
     return [a[idxs] for a in arrays], idxs
 

@@ -186,10 +186,9 @@ def make_fast_predict(
         raise ValueError(model_type)
 
     if mesh is None:
-        fn = jax.jit(partial(predict_impl, variables))
-        if with_mask:
-            return fn
-        return lambda points, inputs: fn(points, inputs)
+        # point_mask defaults to None, so the same jitted callable serves
+        # both the 2-arg and 3-arg (masked) conventions
+        return jax.jit(partial(predict_impl, variables))
 
     # shard_map: batch over 'data', queries over 'query', weights replicated.
     # The conditioning cloud is replicated along 'query' (every query shard
@@ -198,23 +197,13 @@ def make_fast_predict(
     # at serving Q (the decode is the linear-in-Q cost being sharded).
     from jax.experimental.shard_map import shard_map
 
+    in_specs = (P(), P("data", "query"), P("data"))
     if with_mask:
-        mapped = shard_map(
-            predict_impl,
-            mesh=mesh,
-            in_specs=(P(), P("data", "query"), P("data"), P("data")),
-            out_specs=P("data", "query"),
-            check_rep=False,
-        )
-        return jax.jit(partial(mapped, variables))
-
-    def impl_nomask(variables, points, inputs):
-        return predict_impl(variables, points, inputs)
-
+        in_specs = in_specs + (P("data"),)
     mapped = shard_map(
-        impl_nomask,
+        predict_impl,
         mesh=mesh,
-        in_specs=(P(), P("data", "query"), P("data")),
+        in_specs=in_specs,
         out_specs=P("data", "query"),
         check_rep=False,
     )

@@ -101,7 +101,9 @@ class DeformationService:
             from nsdp_tpu.training import make_steps
 
             steps = make_steps(self.model, self.model_type, tx)
-            self._predict = lambda p, i: steps["predict"](self.state, p, i)
+            self._predict = lambda p, i, m=None: steps["predict"](
+                self.state, p, i, m
+            )
 
         if warm:
             self.warmup(int(inputs.shape[1]))
@@ -138,6 +140,9 @@ class DeformationService:
             np.asarray(self._predict(pts, inputs))
 
     def _masked_predict(self):
+        if self._predict_masked is None and self._mesh is None:
+            # single-device fused predict already accepts the optional mask
+            self._predict_masked = self._predict
         if self._predict_masked is None:
             from nsdp_tpu.models.fast_predict import make_fast_predict
 
@@ -165,8 +170,8 @@ class DeformationService:
           surface_samples_inputs: (N, 7) or (B, N, 7) conditioning.
           point_mask: optional (N,) or (B, N) validity mask for padded
             partial conditioning clouds (``data.pad_partial_shapes``
-            contract: padded rows zero, nonzero = real point).  Requires
-            the fused path.
+            contract: padded rows zero, nonzero = real point); served by
+            the fused and flax paths alike.
 
         Returns:
           deformed positions, same leading shape as ``points``.
@@ -186,12 +191,11 @@ class DeformationService:
         else:
             padded = points
         if point_mask is not None:
-            if not self._use_fused:
-                raise ValueError(
-                    "masked (partial-shape) serving requires the fused path"
-                )
+            predict_m = (
+                self._masked_predict() if self._use_fused else self._predict
+            )
             out = np.asarray(
-                self._masked_predict()(
+                predict_m(
                     jnp.asarray(padded, jnp.float32),
                     jnp.asarray(surface_samples_inputs, jnp.float32),
                     jnp.asarray(point_mask, jnp.float32),

@@ -379,6 +379,42 @@ def test_serving_masked_deform(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_dataset_default_rng_follows_global_seed(tmp_path):
+    """The CLIs seed np.random; the dataset's default Generator must derive
+    from it so --seed controls subsampling/noise/holes (reference
+    behaviour, train.py:66)."""
+    from nsdp_tpu.data import dataset_dict
+    from nsdp_tpu.data.synthetic import generate_synthetic_dataset, synthetic_config
+
+    fx = generate_synthetic_dataset(str(tmp_path), n_identities=1,
+                                    n_frames=2, n_surface=64, n_space=64)
+    cfg = synthetic_config(fx, n_surface=32, n_space=32)
+
+    def first_item():
+        ds = dataset_dict[cfg["data"]["type"]](
+            cfg, "identity_seen", "train_seen", load_mesh=False
+        )
+        return ds[0]["surface_samples_src"]
+
+    np.random.seed(123)
+    a = first_item()
+    np.random.seed(123)
+    b = first_item()
+    np.random.seed(7)
+    c = first_item()
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+def test_subsample_shared_lenient_oversample(rng):
+    """num_samples >= n keeps the legacy all-rows semantics (no raise)."""
+    from nsdp_tpu.data import transforms as T
+
+    a = rng.randn(10, 3).astype(np.float32)
+    (out,), idxs = T.subsample_shared([a], 32, rng=np.random.default_rng(0))
+    assert out.shape == (10, 3) and sorted(idxs.tolist()) == list(range(10))
+
+
 def test_dataset_pad_partial_collates(rng, tmp_path):
     """Partial-shape items collate at batch > 1 with pad_partial_shapes."""
     from nsdp_tpu.data import dataset_dict, DataLoader
