@@ -1,10 +1,22 @@
-"""Headline benchmark: deformation-field query throughput per chip.
+"""Headline benchmark: deformation-field query throughput per chip, plus the
+training-step and interactive-drag regression metrics.
 
 Runs the flagship arbitrary-pose model (full-size FlowArbitrary: encoder
 passes + two field decodings per evaluation) at batch 1 with 5000 surface
 conditioning points and 65536 query points, and reports end-to-end query
 points/sec on one chip.  The north-star target is >=1M queries/sec/chip
 (BASELINE.md); ``vs_baseline`` is the ratio against that target.
+
+The same JSON line also carries the other production-critical times so the
+driver's ``BENCH_r*.json`` catches training/interactive regressions, not
+just inference (VERDICT r2 item 6):
+
+  * ``train_step_ms_stage1_b16`` — stage-1 (forward) train step, batch 16,
+    5000/5000, bf16 + fused attention (the shipped fastest config);
+  * ``train_step_ms_stage2_b8`` — stage-2 (arbitrary) full-composition
+    step, batch 8, same config;
+  * ``drag_ms`` — one edit-session handle drag (forward half only) at
+    Q=65536, the interactive-editing latency.
 
 Measurement protocol: the device this harness reaches sits behind a slow
 tunnel (host<->device transfers ~30 MB/s, ~26 ms fixed sync cost), so naive
@@ -14,7 +26,9 @@ synchronised once by a scalar fetch; per-call time is the slope between a
 1-iteration and a (1+K)-iteration chain, which cancels the fixed cost.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "train_step_ms_stage1_b16": N, "train_step_ms_stage2_b8": N,
+   "drag_ms": N}
 """
 
 import json
@@ -23,16 +37,25 @@ import time
 import numpy as np
 
 
-def main():
+def _retry(fn, attempts=3, sleep=20):
+    """The tunnel to the chip is occasionally flaky; retry measurements."""
+    last_err = None
+    for _ in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # transient transport error
+            last_err = e
+            time.sleep(sleep)
+    raise last_err
+
+
+def measure_qps(Q=65536, N=5000, K=20):
     import jax
     import jax.numpy as jnp
 
     from __graft_entry__ import FLAGSHIP_CONFIG, _example_batch
     from nsdp_tpu.models import build_model
 
-    Q = 65536
-    N = 5000
-    K = 20
     model = build_model(FLAGSHIP_CONFIG)
     batch = _example_batch(B=1, N=N, Q=Q)
     inputs = jnp.asarray(batch["surface_samples_inputs"])
@@ -51,12 +74,11 @@ def main():
     from nsdp_tpu.models.fast_predict import make_fast_predict
 
     predict = make_fast_predict(model, variables, "arbitrary", nneigh=7)
-    inputs_full = inputs
 
     @jax.jit
     def chain(space_src, k):
         def body(i, x):
-            return predict(x, inputs_full)
+            return predict(x, inputs)
         return jnp.sum(jax.lax.fori_loop(0, k, body, space_src))
 
     def sync_time(k, n=7):
@@ -68,30 +90,92 @@ def main():
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
-    # the tunnel to the chip is occasionally flaky; retry the measurement
-    last_err = None
-    for _ in range(3):
-        try:
-            t1 = sync_time(1)
-            t2 = sync_time(1 + K)
-            break
-        except Exception as e:  # transient transport error
-            last_err = e
-            time.sleep(20)
-    else:
-        raise last_err
+    t1 = sync_time(1)
+    t2 = sync_time(1 + K)
     per_call = max((t2 - t1) / K, 1e-9)
-    qps = Q / per_call
-    print(
-        json.dumps(
-            {
-                "metric": "deformation_field_query_throughput",
-                "value": round(qps, 1),
-                "unit": "query_points/sec/chip",
-                "vs_baseline": round(qps / 1e6, 4),
-            }
-        )
+    return Q / per_call
+
+
+def measure_drag_ms(Q=65536, N=5000, K=20):
+    """One edit-session drag: the forward (deform) half only, chained."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import FLAGSHIP_CONFIG, _example_batch
+    from nsdp_tpu.models import build_model
+    from nsdp_tpu.models.fast_predict import make_fast_arbitrary_halves
+
+    model = build_model(FLAGSHIP_CONFIG)
+    batch = _example_batch(B=1, N=N, Q=Q)
+    inputs = jnp.asarray(batch["surface_samples_inputs"])
+    space = jnp.asarray(batch["space_samples_src"])
+    surf_src, surf_tgt, mask = (
+        inputs[..., 0:3],
+        inputs[..., 3:6],
+        inputs[..., 6:7],
     )
+    from functools import partial
+
+    variables = jax.jit(partial(model.init, train=False))(
+        jax.random.PRNGKey(0), space[:, :128], surf_src, surf_tgt, mask
+    )
+    halves = make_fast_arbitrary_halves(model, nneigh=7)
+    cano = jax.jit(partial(halves["canonicalize"], variables))
+    deform = jax.jit(partial(halves["deform"], variables))
+    space_cano, surf_cano = cano(space, surf_src)
+
+    @jax.jit
+    def chain(x, k):
+        def body(i, x):
+            return deform(x, surf_cano, surf_tgt, mask)
+        return jnp.sum(jax.lax.fori_loop(0, k, body, x))
+
+    def sync_time(k, n=7):
+        float(chain(space_cano, k))
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            float(chain(space_cano, k))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    t1 = sync_time(1)
+    t2 = sync_time(1 + K)
+    return max((t2 - t1) / K, 1e-9) * 1e3
+
+
+def main():
+    from scripts.bench_train import bench_combo
+
+    result = {
+        "metric": "deformation_field_query_throughput",
+        "value": None,
+        "unit": "query_points/sec/chip",
+        "vs_baseline": None,
+        "train_step_ms_stage1_b16": None,
+        "train_step_ms_stage2_b8": None,
+        "drag_ms": None,
+    }
+    qps = _retry(measure_qps)
+    result["value"] = round(qps, 1)
+    result["vs_baseline"] = round(qps / 1e6, 4)
+    # secondary metrics must not sink the headline on a flaky tunnel day
+    try:
+        result["train_step_ms_stage1_b16"] = round(
+            _retry(lambda: bench_combo("bfloat16", True, 16, 8)) * 1e3, 1
+        )
+        result["train_step_ms_stage2_b8"] = round(
+            _retry(
+                lambda: bench_combo(
+                    "bfloat16", True, 8, 8, model_type="arbitrary"
+                )
+            ) * 1e3,
+            1,
+        )
+        result["drag_ms"] = round(_retry(measure_drag_ms), 2)
+    except Exception:
+        pass
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

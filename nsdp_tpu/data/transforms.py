@@ -74,8 +74,13 @@ def subsample_shared(
         if isinstance(rng, np.random.Generator) and num_samples < n:
             # O(num_samples) Floyd-style sampling — the O(n) legacy
             # permutation was the warm-cache assembly hot spot at
-            # stage-1 scale (n=100k/200k per frame)
+            # stage-1 scale (n=100k/200k per frame).  choice(shuffle=False)
+            # returns near-sorted indices while the legacy permutation path
+            # is uniformly ordered; row 0 seeds FPS downstream, so an O(k)
+            # shuffle of the chosen k restores the reference's uniform
+            # ordering statistics at negligible cost.
             idxs = rng.choice(n, num_samples, replace=False, shuffle=False)
+            rng.shuffle(idxs)
         else:
             # num_samples >= n keeps the lenient legacy semantics:
             # all n rows, randomly ordered (Generator.choice would raise)

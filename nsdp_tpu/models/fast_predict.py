@@ -195,7 +195,7 @@ def make_fast_predict(
     # needs the full encoding of its batch element); the per-device encoder
     # pass is redundant across the query axis but tiny next to the decode
     # at serving Q (the decode is the linear-in-Q cost being sharded).
-    from jax.experimental.shard_map import shard_map
+    from nsdp_tpu.parallel.mesh import shard_map
 
     in_specs = (P(), P("data", "query"), P("data"))
     if with_mask:
@@ -205,6 +205,5 @@ def make_fast_predict(
         mesh=mesh,
         in_specs=in_specs,
         out_specs=P("data", "query"),
-        check_rep=False,
     )
     return jax.jit(partial(mapped, variables))

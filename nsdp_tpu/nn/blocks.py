@@ -18,6 +18,8 @@ Conventions:
     collection; ``train=False`` uses running statistics.
 """
 
+import contextlib
+from contextvars import ContextVar
 from typing import Optional
 
 import jax
@@ -25,6 +27,32 @@ import jax.numpy as jnp
 from flax import linen as fnn
 
 from nsdp_tpu.ops import furthest_point_sample, index_points, knn
+
+# Cross-replica ("sync") BatchNorm axis.  When the training step runs under
+# ``shard_map`` over the 'data' mesh axis (nsdp_tpu.training.steps with a
+# mesh), every op in the model is batch-pointwise EXCEPT BatchNorm, whose
+# batch statistics must span the *global* batch to match single-device
+# training exactly.  Threading an ``axis_name`` attribute through every
+# module that owns a BatchNorm would churn the whole model API for one
+# tracing-time flag, so the axis is carried by a context variable instead:
+# :func:`bn_sync_axis` is entered *inside* the shard-mapped function body, so
+# it is active exactly while that body is being traced and the psums it
+# triggers bind to the enclosing shard_map's axis name.
+_BN_SYNC_AXIS: ContextVar[Optional[str]] = ContextVar(
+    "nsdp_bn_sync_axis", default=None
+)
+
+
+@contextlib.contextmanager
+def bn_sync_axis(axis_name: Optional[str]):
+    """Within this context, BatchNorm computes batch statistics globally via
+    ``jax.lax.psum`` over the named mesh axis (use inside a ``shard_map``
+    body during tracing)."""
+    token = _BN_SYNC_AXIS.set(axis_name)
+    try:
+        yield
+    finally:
+        _BN_SYNC_AXIS.reset(token)
 
 
 class TwoLayerMLP(fnn.Module):
@@ -115,11 +143,38 @@ class _TorchExactBatchNorm(fnn.Module):
             "batch_stats", "var", lambda: jnp.ones((feat,), jnp.float32)
         )
         reduce_axes = tuple(range(x.ndim - 1))
+        sync_axis = _BN_SYNC_AXIS.get()
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
             xf = x.astype(jnp.float32)
-            if mask is None:
+            if sync_axis is not None:
+                # Global-batch statistics across the shard_map axis: one
+                # psum for (sum, count), then a second for the centred
+                # squared sum — the same two-pass mean/var a single device
+                # computes, so sharded == unsharded up to f32 reduction
+                # order (no E[x^2]-E[x]^2 cancellation).
+                if mask is None:
+                    n_local = 1
+                    for a in reduce_axes:
+                        n_local *= x.shape[a]
+                    s = jnp.sum(xf, axis=reduce_axes)
+                    n = jnp.float32(n_local)
+                else:
+                    w = mask.astype(jnp.float32)[..., None]
+                    s = jnp.sum(xf * w, axis=reduce_axes)
+                    n = jnp.sum(w)
+                s, n = jax.lax.psum((s, n), sync_axis)
+                n = jnp.maximum(n, 1.0)
+                mean = s / n
+                if mask is None:
+                    ss = jnp.sum(jnp.square(xf - mean), axis=reduce_axes)
+                else:
+                    ss = jnp.sum(
+                        jnp.square(xf - mean) * w, axis=reduce_axes
+                    )
+                var = jax.lax.psum(ss, sync_axis) / n
+            elif mask is None:
                 mean = jnp.mean(xf, axis=reduce_axes)
                 var = jnp.mean(jnp.square(xf - mean), axis=reduce_axes)
                 n = 1
@@ -494,12 +549,18 @@ class CrossTransformerBlock(fnn.Module):
             v_glob = dense("w_v_global")(lat_rep)
             qf = jnp.broadcast_to(q_glob[:, None, :], (B, nQ, self.dim))
             # tile 512: 25% faster fwd+bwd than 128 at decoder shapes
-            # (small anchor set, weight-grad matmuls amortise over rows)
+            # (small anchor set, weight-grad matmuls amortise over rows).
+            # Guarded by the kv-set size: the kernel keeps k unrolled
+            # (tile, M) one-hots live at once, so a large anchor set at
+            # tile 512 overruns the 100 MB scoped-VMEM limit (the same
+            # blowup that reverted the TSA tile, commit 8e4c9b3) — configs
+            # with >256 final anchors fall back to the default 128 tile.
+            tile = 512 if xyz.shape[1] <= 256 else 128
             res = knn_vector_attention(
                 xyz_q, xyz, qf,
                 dense("w_ks")(points), dense("w_vs")(points),
                 k_glob, v_glob, None, *dw, *gw,
-                min(self.nneigh, xyz.shape[1]), 512,
+                min(self.nneigh, xyz.shape[1]), tile,
             )
             if not self.reduce_dim:
                 res = fnn.Dense(self.dim_inp, dtype=self.dtype, name="fc")(res)

@@ -20,6 +20,12 @@ from nsdp_tpu.parallel.mesh import (
     shard_queries,
     initialize_distributed,
 )
+from nsdp_tpu.parallel.multihost import (
+    globalize_batch,
+    is_main_process,
+    local_slice,
+    process_batch_slice,
+)
 
 __all__ = [
     "make_mesh",
@@ -28,4 +34,8 @@ __all__ = [
     "shard_batch",
     "shard_queries",
     "initialize_distributed",
+    "globalize_batch",
+    "is_main_process",
+    "local_slice",
+    "process_batch_slice",
 ]

@@ -14,6 +14,19 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def shard_map(f, mesh: Mesh, in_specs, out_specs):
+    """``jax.shard_map`` with varying-manual-axes checking off.
+
+    The step/serving bodies mix per-shard Pallas kernels with explicit
+    ``psum``s whose replication the checker cannot see through; outputs
+    declared replicated (``P()``) are guaranteed so by construction
+    (identical psum results on every shard)."""
+    return jax.shard_map(
+        f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
+
+
 def initialize_distributed(**kwargs) -> None:
     """Multi-host init (``jax.distributed.initialize``); no-op single-host."""
     try:
@@ -47,13 +60,28 @@ def make_mesh(
 
 
 def make_train_mesh(batch_size: int) -> Mesh:
-    """Data-parallel mesh using the most devices that divide the batch."""
+    """Data-parallel mesh using the most devices that divide the batch.
+
+    Prints a prominent warning when the batch size forces fewer chips than
+    available (e.g. a prime batch size trains on ONE chip) — silent
+    degradation would waste most of the pod.
+    """
     n = len(jax.devices())
     data = 1
     for d in range(n, 0, -1):
         if batch_size % d == 0:
             data = d
             break
+    if data < n:
+        import warnings
+
+        warnings.warn(
+            f"batch_size={batch_size} is not divisible by the {n} available "
+            f"devices; training uses only {data} chip(s) and idles "
+            f"{n - data}. Pick a batch size divisible by {n} to use the "
+            "whole mesh.",
+            stacklevel=2,
+        )
     return make_mesh(devices=jax.devices()[:data], data=data, query=1)
 
 

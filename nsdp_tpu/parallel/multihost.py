@@ -27,6 +27,25 @@ def process_batch_slice(global_batch_size: int) -> slice:
     return slice(start, start + per)
 
 
+def local_slice(batch: Dict[str, Any], global_batch_size: int) -> Dict[str, Any]:
+    """Slice a fully-assembled host batch down to this process's rows.
+
+    Used for batches built whole on every process (e.g. padded validation
+    batches) before :func:`globalize_batch`; for training, prefer assembling
+    only the local rows in the first place (``DataLoader(batch_slice=...)``).
+    Single-process this is the identity.
+    """
+    sl = process_batch_slice(global_batch_size)
+    return jax.tree.map(
+        lambda x: x[sl] if getattr(x, "ndim", 0) >= 1 else x, batch
+    )
+
+
+def is_main_process() -> bool:
+    """True on the process that owns checkpoint/stats writes."""
+    return jax.process_index() == 0
+
+
 def globalize_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     """Assemble per-process local batch shards into global sharded arrays.
 

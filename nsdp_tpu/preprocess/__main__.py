@@ -54,6 +54,18 @@ def main(argv=None):
             help="SDF grid spacing for --make_watertight (msh2df -spacing; "
             "cost ~ (extent/spacing)^3)",
         )
+        p.add_argument(
+            "--watertight_method", default="sdf",
+            choices=["sdf", "poisson"],
+            help="'sdf' = the GAPS msh2df rasterisation (the commented "
+            "make_watertight.sh variant); 'poisson' = the active meshlab "
+            "screened-Poisson recipe (make_watertight.sh:19)",
+        )
+        p.add_argument(
+            "--watertight_depth", type=int, default=8,
+            help="grid resolution exponent for --watertight_method=poisson "
+            "(the screened_poisson.mlx octree depth; n = 2^depth)",
+        )
 
     p = sub.add_parser("nocorr", help="normalisation-only (TOSCA / dogrec)")
     p.add_argument("--input_mesh_dir", required=True)
@@ -79,6 +91,8 @@ def main(argv=None):
             n_jobs=args.max_threads,
             make_watertight=args.make_watertight,
             watertight_spacing=args.watertight_spacing,
+            watertight_method=args.watertight_method,
+            watertight_depth=args.watertight_depth,
         )
         print(f"normalised {n} frames")
         m = generate_flows(

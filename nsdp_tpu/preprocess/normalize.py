@@ -47,15 +47,22 @@ def normalization_matrix(
 def normalize_mesh_file(
     mesh_path: str, out_dir: str, target_scale: float = 0.35,
     make_watertight: bool = False, watertight_spacing: float = 0.005,
+    watertight_method: str = "sdf", watertight_depth: int = 8,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Process one frame directory like ``process_mesh_local.sh``:
 
     copies the input to ``mesh_orig.<ext>``, writes the normalised mesh to
     ``model_normalized.obj`` and the transform to ``orig_to_gaps.txt``.
     With ``make_watertight`` the mesh is first remeshed to a closed
-    manifold (``model_watertight.ply``, the shell's optional msh2df step at
-    ``process_mesh_local.sh:39-50``) and the normalisation is computed from
-    the watertight mesh, matching the shell's operand order.
+    manifold (``model_watertight.ply``) and the normalisation is computed
+    from the watertight mesh, matching the shell's operand order.
+    ``watertight_method`` picks between the two reference recipes:
+    ``'sdf'`` is the GAPS msh2df SDF rasterisation
+    (``process_mesh_local.sh:39-50``, ``make_watertight.sh:14-16``
+    commented variant; ``watertight_spacing`` = msh2df ``-spacing``);
+    ``'poisson'`` is the active ``meshlabserver -s screened_poisson.mlx``
+    screened-Poisson reconstruction (``make_watertight.sh:19``;
+    ``watertight_depth`` = the .mlx octree ``depth``).
     Returns (normalized verts, faces).
     """
     os.makedirs(out_dir, exist_ok=True)
@@ -66,11 +73,22 @@ def normalize_mesh_file(
 
     verts, faces = meshio.load_mesh(mesh_path)
     if make_watertight:
-        from nsdp_tpu.preprocess.watertight import watertight_mesh
+        if watertight_method == "poisson":
+            from nsdp_tpu.preprocess.poisson import watertight_mesh_poisson
 
-        verts, faces = watertight_mesh(
-            verts, faces, spacing=watertight_spacing
-        )
+            verts, faces = watertight_mesh_poisson(
+                verts, faces, depth=watertight_depth
+            )
+        elif watertight_method == "sdf":
+            from nsdp_tpu.preprocess.watertight import watertight_mesh
+
+            verts, faces = watertight_mesh(
+                verts, faces, spacing=watertight_spacing
+            )
+        else:
+            raise ValueError(
+                f"unknown watertight_method {watertight_method!r}"
+            )
         verts = verts.astype(np.float32)
         meshio.save_mesh(
             os.path.join(out_dir, "model_watertight.ply"), verts, faces
@@ -96,6 +114,8 @@ def normalize_mesh_directory(
     target_scale: float = 0.35,
     make_watertight: bool = False,
     watertight_spacing: float = 0.005,
+    watertight_method: str = "sdf",
+    watertight_depth: int = 8,
 ) -> int:
     """Normalise every ``interval``-th frame of one sequence directory.
 
@@ -117,6 +137,8 @@ def normalize_mesh_directory(
             os.path.join(mesh_dir, fname), out_dir, target_scale,
             make_watertight=make_watertight,
             watertight_spacing=watertight_spacing,
+            watertight_method=watertight_method,
+            watertight_depth=watertight_depth,
         )
         count += 1
     return count

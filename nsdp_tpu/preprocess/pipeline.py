@@ -77,15 +77,20 @@ def generate_sequences(
     n_jobs: int = -1,
     make_watertight: bool = False,
     watertight_spacing: float = 0.005,
+    watertight_method: str = "sdf",
+    watertight_depth: int = 8,
 ) -> int:
     """Normalise every ``interval``-th frame of every sequence (stage 'seq').
 
-    ``make_watertight`` runs the msh2df-equivalent closed-manifold remesh
-    before normalisation (off by default, like the reference's
-    ``process_mesh_local.sh:22``).  ``watertight_spacing`` is the SDF grid
-    resolution (reference flag ``-spacing 0.005``); cost scales with
-    (extent/spacing)^3 — the numpy implementation wants ~0.02-0.05 on
-    unit-scale meshes where GAPS's C++ used 0.005."""
+    ``make_watertight`` runs a closed-manifold remesh before normalisation
+    (off by default, like the reference's ``process_mesh_local.sh:22``).
+    ``watertight_method='sdf'`` is the msh2df-equivalent SDF rasterisation;
+    ``watertight_spacing`` is its grid resolution (reference flag
+    ``-spacing 0.005``; cost scales with (extent/spacing)^3 — the numpy
+    implementation wants ~0.02-0.05 on unit-scale meshes where GAPS's C++
+    used 0.005).  ``watertight_method='poisson'`` is the reference's active
+    meshlab screened-Poisson recipe (``make_watertight.sh:19``) with
+    ``watertight_depth`` as the .mlx octree depth."""
     seqs = _sequence_dirs(mesh_directory, filter_lst)
     os.makedirs(dataset_directory, exist_ok=True)
     counts = Parallel(n_jobs=n_jobs)(
@@ -97,6 +102,8 @@ def generate_sequences(
             skip_existing,
             make_watertight=make_watertight,
             watertight_spacing=watertight_spacing,
+            watertight_method=watertight_method,
+            watertight_depth=watertight_depth,
         )
         for seq in seqs
     )

@@ -79,7 +79,7 @@ class DeformationService:
         self._use_fused = use_fused
         self._interpret = bool(interpret)
         self._mesh = mesh
-        self._halves = None  # built lazily by edit_session
+        self._halves = {}  # {masked: (cano_fn, deform_fn)}, lazy
         self._predict_masked = None  # built lazily on first masked deform
         if use_fused:
             from nsdp_tpu.models.fast_predict import make_fast_predict
@@ -130,14 +130,58 @@ class DeformationService:
         m = self._q_mult
         return ((out + m - 1) // m) * m
 
-    def warmup(self, n_surface: int) -> None:
-        """Pre-compile every bucket size for a given conditioning size."""
+    def warmup(
+        self,
+        n_surface: int,
+        masked: Optional[bool] = None,
+        sessions: Optional[bool] = None,
+    ) -> None:
+        """Pre-compile the serving surface at every bucket size.
+
+        Covers the unmasked predict, the masked (padded-partial) predict,
+        and the edit-session canonicalize/deform halves, so no request path
+        hits a first-call trace+compile (multi-second latency through the
+        TPU tunnel).
+
+        Args:
+          n_surface: conditioning cloud size to compile for.
+          masked: also warm the ``point_mask`` paths (default: on when the
+            config sets ``data.pad_partial_shapes``).
+          sessions: also warm the edit-session halves (default: on for the
+            'arbitrary' composition, which is the interactive model).
+        """
         jnp = self._jnp
+        if masked is None:
+            masked = bool(
+                self.config.get("data", {}).get("pad_partial_shapes", False)
+            )
+        if sessions is None:
+            sessions = self.model_type == "arbitrary"
         rng = np.random.RandomState(0)
         inputs = jnp.asarray(rng.randn(1, n_surface, 7), jnp.float32)
+        pmask = jnp.ones((1, n_surface), jnp.float32)
         for b in self.buckets:
             pts = jnp.asarray(rng.randn(1, b, 3), jnp.float32)
             np.asarray(self._predict(pts, inputs))
+            if masked:
+                np.asarray(
+                    self._masked_predict()(pts, inputs, pmask)
+                    if self._use_fused
+                    else self._predict(pts, inputs, pmask)
+                )
+            if sessions:
+                for m in ((False, True) if masked else (False,)):
+                    cano_fn, deform_fn = self._get_halves(m)
+                    margs = (pmask,) if m else ()
+                    space_cano, surf_cano = cano_fn(
+                        pts, inputs[..., 0:3], *margs
+                    )
+                    np.asarray(
+                        deform_fn(
+                            space_cano, surf_cano, inputs[..., 3:6],
+                            inputs[..., 6:7], *margs
+                        )
+                    )
 
     def _masked_predict(self):
         if self._predict_masked is None and self._mesh is None:
@@ -212,8 +256,18 @@ class DeformationService:
 
     # -- interactive editing sessions -----------------------------------------
 
-    def _build_halves(self):
-        """Jitted canonicalize/deform halves (fused or flax path)."""
+    def _get_halves(self, masked: bool = False):
+        if masked not in self._halves:
+            self._halves[masked] = self._build_halves(masked)
+        return self._halves[masked]
+
+    def _build_halves(self, masked: bool = False):
+        """Jitted canonicalize/deform halves (fused or flax path).
+
+        ``masked=True`` builds the variants taking a trailing ``point_mask``
+        (B, N) argument, so padded-partial conditioning runs the same
+        fused interactive path as full shapes.
+        """
         import jax
         from functools import partial
 
@@ -225,48 +279,74 @@ class DeformationService:
                 nneigh=self.config["model"]["decoder_kwargs"].get("nneigh", 7),
                 interpret=self._interpret,
             )
-            cano_impl, deform_impl = impls["canonicalize"], impls["deform"]
+            base_cano, base_deform = impls["canonicalize"], impls["deform"]
         else:
             model = self.model
 
-            def cano_impl(variables, points, surf_src):
-                def method(m, points, surf, train):
-                    enc = m.model_canonicalize.encode(surf, train=train)
-                    return (
-                        m.model_canonicalize.decode(points, enc, train=train),
-                        m.model_canonicalize.decode(surf, enc, train=train),
+            def base_cano(variables, points, surf_src, point_mask=None):
+                def method(m, points, surf, pm, train):
+                    enc = m.model_canonicalize.encode(
+                        surf, train=train, point_mask=pm
                     )
+                    space_cano = m.model_canonicalize.decode(
+                        points, enc, train=train
+                    )
+                    surf_cano = m.model_canonicalize.decode(
+                        surf, enc, train=train
+                    )
+                    if pm is not None:
+                        # same contract as FlowArbitrary.__call__: padded
+                        # rows stay at the origin in the conditioning
+                        surf_cano = surf_cano * pm[..., None].astype(
+                            surf_cano.dtype
+                        )
+                    return space_cano, surf_cano
 
                 return model.apply(
-                    variables, points, surf_src, False, method=method
-                )
-
-            def deform_impl(variables, space_cano, surf_cano, surf_tgt, mask):
-                def method(m, sc, su, tgt, msk, train):
-                    cond = self._jnp.concatenate([su, tgt, msk], axis=-1)
-                    return m.model_deform(sc, cond, train=train)
-
-                return model.apply(
-                    variables, space_cano, surf_cano, surf_tgt, mask, False,
+                    variables, points, surf_src, point_mask, False,
                     method=method,
                 )
 
+            def base_deform(variables, space_cano, surf_cano, surf_tgt,
+                            mask, point_mask=None):
+                def method(m, sc, su, tgt, msk, pm, train):
+                    cond = self._jnp.concatenate([su, tgt, msk], axis=-1)
+                    return m.model_deform(
+                        sc, cond, train=train, point_mask=pm
+                    )
+
+                return model.apply(
+                    variables, space_cano, surf_cano, surf_tgt, mask,
+                    point_mask, False, method=method,
+                )
+
+        # fixed positional arity per variant (shard_map needs static specs)
+        if masked:
+            cano_impl = lambda v, p, s, pm: base_cano(v, p, s, pm)
+            deform_impl = (
+                lambda v, sc, su, t, m, pm: base_deform(v, sc, su, t, m, pm)
+            )
+        else:
+            cano_impl = lambda v, p, s: base_cano(v, p, s)
+            deform_impl = (
+                lambda v, sc, su, t, m: base_deform(v, sc, su, t, m)
+            )
+
         if self._mesh is not None:
-            from jax.experimental.shard_map import shard_map
+            from nsdp_tpu.parallel.mesh import shard_map
             from jax.sharding import PartitionSpec as P
 
+            extra = (P("data"),) if masked else ()
             cano_impl = shard_map(
                 cano_impl, mesh=self._mesh,
-                in_specs=(P(), P("data", "query"), P("data")),
+                in_specs=(P(), P("data", "query"), P("data")) + extra,
                 out_specs=(P("data", "query"), P("data")),
-                check_rep=False,
             )
             deform_impl = shard_map(
                 deform_impl, mesh=self._mesh,
                 in_specs=(P(), P("data", "query"), P("data"), P("data"),
-                          P("data")),
+                          P("data")) + extra,
                 out_specs=P("data", "query"),
-                check_rep=False,
             )
         return (
             jax.jit(partial(cano_impl, self._variables)),
@@ -274,7 +354,10 @@ class DeformationService:
         )
 
     def edit_session(
-        self, points: np.ndarray, surface_samples_src: np.ndarray
+        self,
+        points: np.ndarray,
+        surface_samples_src: np.ndarray,
+        point_mask: Optional[np.ndarray] = None,
     ) -> "EditSession":
         """Open an interactive editing session over a fixed source shape.
 
@@ -289,36 +372,48 @@ class DeformationService:
           points: (Q, 3) query positions to deform at every drag (e.g. the
             mesh vertices).
           surface_samples_src: (N, 3) source surface samples.
+          point_mask: optional (N,) validity mask for padded-partial
+            conditioning (``data.pad_partial_shapes`` contract); the
+            session's canonicalisation and every drag run the masked
+            fused path.
         """
         if self.model_type != "arbitrary":
             raise ValueError(
                 "edit sessions need the 'arbitrary' composition "
                 f"(got {self.model_type!r})"
             )
-        if self._halves is None:
-            self._halves = self._build_halves()
-        cano_fn, _ = self._halves
+        masked = point_mask is not None
+        cano_fn, _ = self._get_halves(masked)
         jnp = self._jnp
         q = points.shape[0]
         target = self._bucket(q)
         padded = np.concatenate(
             [points, np.zeros((target - q, 3), points.dtype)], axis=0
         )
+        pm = None
+        margs = ()
+        if masked:
+            pm = jnp.asarray(
+                np.asarray(point_mask, np.float32).reshape(1, -1)
+            )
+            margs = (pm,)
         space_cano, surf_cano = cano_fn(
             jnp.asarray(padded, jnp.float32)[None],
             jnp.asarray(surface_samples_src, jnp.float32)[None],
+            *margs,
         )
-        return EditSession(self, space_cano, surf_cano, q)
+        return EditSession(self, space_cano, surf_cano, q, pm)
 
 
 class EditSession:
     """Precomputed canonicalisation + per-drag forward evaluation."""
 
-    def __init__(self, service, space_cano, surf_cano, q):
+    def __init__(self, service, space_cano, surf_cano, q, point_mask=None):
         self._service = service
         self._space_cano = space_cano
         self._surf_cano = surf_cano
         self._q = q
+        self._point_mask = point_mask
 
     def drag(self, surface_samples_tgt, handle_mask) -> np.ndarray:
         """Deform the session's query points toward a (partial) target.
@@ -332,13 +427,15 @@ class EditSession:
           (Q, 3) deformed query positions.
         """
         svc = self._service
-        _, deform_fn = svc._halves
+        _, deform_fn = svc._get_halves(self._point_mask is not None)
         jnp = svc._jnp
         mask = np.asarray(handle_mask, np.float32).reshape(-1, 1)
+        margs = () if self._point_mask is None else (self._point_mask,)
         out = deform_fn(
             self._space_cano,
             self._surf_cano,
             jnp.asarray(surface_samples_tgt, jnp.float32)[None],
             jnp.asarray(mask)[None],
+            *margs,
         )
         return np.asarray(out)[0, : self._q]

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import optax
 
 from nsdp_tpu.models.deformation import compute_l2_error
-from nsdp_tpu.nn.blocks import BN_MOMENTUM
+from nsdp_tpu.nn.blocks import BN_MOMENTUM, bn_sync_axis
 from nsdp_tpu.training.state import TrainState
 
 
@@ -51,7 +51,8 @@ def _split_inputs(surface_samples_inputs):
     )
 
 
-def make_steps(model, model_type: str, tx, nan_guard: bool = False) -> Dict[str, Any]:
+def make_steps(model, model_type: str, tx, nan_guard: bool = False,
+               mesh=None) -> Dict[str, Any]:
     """Build the jitted step functions for a model.
 
     Args:
@@ -62,6 +63,17 @@ def make_steps(model, model_type: str, tx, nan_guard: bool = False) -> Dict[str,
         state) whenever the batch loss is non-finite — a production
         failure-detection guard absent in the reference; the bad loss is
         still returned so the logger surfaces it.
+      mesh: optional ``('data','query')`` device mesh.  With a multi-device
+        mesh, every step is ``shard_map``-ped: batches split over 'data'
+        (predict queries additionally over 'query'), parameters replicated,
+        gradients/losses combined with explicit ``psum``s and BatchNorm
+        statistics synced globally (:func:`nsdp_tpu.nn.blocks.bn_sync_axis`)
+        — exact single-device semantics.  shard_map (not jit+GSPMD) is load-
+        bearing on TPU: the fused Pallas attention and FPS kernels lower to
+        mosaic custom calls GSPMD cannot partition (it would all-gather the
+        operands and replicate the kernel on every chip); under shard_map
+        each device runs the kernels on its local shard.  Requires batch
+        divisible by the 'data' axis and query counts divisible by 'query'.
 
     Returns:
       dict with ``train_step(state, batch, lr)``, ``validate_step(state,
@@ -69,6 +81,11 @@ def make_steps(model, model_type: str, tx, nan_guard: bool = False) -> Dict[str,
       deformation-field evaluation used by test/run).
     """
     arbitrary = model_type == "arbitrary"
+    sharded = mesh is not None and mesh.devices.size > 1
+    if sharded:
+        from jax.sharding import PartitionSpec as P
+
+        from nsdp_tpu.parallel.mesh import shard_map
 
     def forward(params, batch_stats, points, surface_samples_inputs, train,
                 point_mask=None):
@@ -109,9 +126,34 @@ def make_steps(model, model_type: str, tx, nan_guard: bool = False) -> Dict[str,
             )
         return loss, new_stats
 
+    def _grad_fn(params, batch_stats, batch):
+        return jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch_stats, batch
+        )
+
+    if sharded:
+        def _sharded_grad_body(params, batch_stats, batch):
+            # runs per-device on the local batch shard; sync-BN makes the
+            # forward itself see global batch statistics, the psums below
+            # combine loss and gradients (mean over equal-size shards ==
+            # global batch mean)
+            with bn_sync_axis("data"):
+                (loss, new_stats), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params, batch_stats, batch)
+            loss, grads = jax.lax.pmean((loss, grads), "data")
+            return (loss, new_stats), grads
+
+        _grad_fn = shard_map(
+            _sharded_grad_body,
+            mesh=mesh,
+            in_specs=(P(), P(), P("data")),
+            out_specs=((P(), P()), P()),
+        )
+
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, lr):
-        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (loss, new_stats), grads = _grad_fn(
             state.params, state.batch_stats, batch
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -135,17 +177,78 @@ def make_steps(model, model_type: str, tx, nan_guard: bool = False) -> Dict[str,
             loss,
         )
 
-    @jax.jit
-    def validate_step(state: TrainState, batch):
+    def _val_loss(params, batch_stats, batch):
         pred, _ = forward(
-            state.params,
-            state.batch_stats,
+            params,
+            batch_stats,
             batch["space_samples_src"],
             batch["surface_samples_inputs"],
             train=False,
             point_mask=batch.get("surface_valid_mask"),
         )
         return compute_l2_error(pred, batch["space_samples_tgt"])
+
+    def _val_masked_sums(params, batch_stats, batch, sample_mask):
+        pred, _ = forward(
+            params,
+            batch_stats,
+            batch["space_samples_src"],
+            batch["surface_samples_inputs"],
+            train=False,
+            point_mask=batch.get("surface_valid_mask"),
+        )
+        delta = pred - batch["space_samples_tgt"]
+        per_sample = jnp.mean(0.5 * jnp.sum(delta * delta, axis=-1), axis=-1)
+        return jnp.sum(per_sample * sample_mask), jnp.sum(sample_mask)
+
+    def _predict_impl(params, batch_stats, points, surface_samples_inputs,
+                      point_mask):
+        pred, _ = forward(
+            params, batch_stats, points, surface_samples_inputs,
+            train=False, point_mask=point_mask,
+        )
+        return pred
+
+    if sharded:
+        _val_fn = shard_map(
+            lambda p, s, b: jax.lax.pmean(_val_loss(p, s, b), "data"),
+            mesh=mesh, in_specs=(P(), P(), P("data")), out_specs=P(),
+        )
+
+        def _val_masked_body(params, batch_stats, batch, sample_mask):
+            num, den = jax.lax.psum(
+                _val_masked_sums(params, batch_stats, batch, sample_mask),
+                "data",
+            )
+            return num / jnp.maximum(den, 1.0)
+
+        _val_masked_fn = shard_map(
+            _val_masked_body, mesh=mesh,
+            in_specs=(P(), P(), P("data"), P("data")), out_specs=P(),
+        )
+        # queries additionally split over the 'query' axis (field evaluation
+        # is embarrassingly parallel given the per-sample encoding)
+        _pred_nomask = shard_map(
+            lambda p, s, pts, ins: _predict_impl(p, s, pts, ins, None),
+            mesh=mesh,
+            in_specs=(P(), P(), P("data", "query"), P("data")),
+            out_specs=P("data", "query"),
+        )
+        _pred_mask = shard_map(
+            _predict_impl, mesh=mesh,
+            in_specs=(P(), P(), P("data", "query"), P("data"), P("data")),
+            out_specs=P("data", "query"),
+        )
+    else:
+        _val_fn = _val_loss
+
+        def _val_masked_fn(params, batch_stats, batch, sample_mask):
+            num, den = _val_masked_sums(params, batch_stats, batch, sample_mask)
+            return num / jnp.maximum(den, 1.0)
+
+    @jax.jit
+    def validate_step(state: TrainState, batch):
+        return _val_fn(state.params, state.batch_stats, batch)
 
     @jax.jit
     def validate_step_masked(state: TrainState, batch, sample_mask):
@@ -158,28 +261,28 @@ def make_steps(model, model_type: str, tx, nan_guard: bool = False) -> Dict[str,
         of the mean — the masked mean over real samples equals torch's mean
         over the smaller final batch.
         """
-        pred, _ = forward(
-            state.params,
-            state.batch_stats,
-            batch["space_samples_src"],
-            batch["surface_samples_inputs"],
-            train=False,
-            point_mask=batch.get("surface_valid_mask"),
+        return _val_masked_fn(
+            state.params, state.batch_stats, batch, sample_mask
         )
-        delta = pred - batch["space_samples_tgt"]
-        per_sample = jnp.mean(0.5 * jnp.sum(delta * delta, axis=-1), axis=-1)
-        denom = jnp.maximum(jnp.sum(sample_mask), 1.0)
-        return jnp.sum(per_sample * sample_mask) / denom
 
     @jax.jit
     def predict(state: TrainState, points, surface_samples_inputs,
                 point_mask=None):
         """Evaluate the deformation field at arbitrary query points."""
-        pred, _ = forward(
+        if sharded:
+            if point_mask is None:
+                return _pred_nomask(
+                    state.params, state.batch_stats, points,
+                    surface_samples_inputs,
+                )
+            return _pred_mask(
+                state.params, state.batch_stats, points,
+                surface_samples_inputs, point_mask,
+            )
+        return _predict_impl(
             state.params, state.batch_stats, points, surface_samples_inputs,
-            train=False, point_mask=point_mask,
+            point_mask,
         )
-        return pred
 
     return {
         "train_step": train_step,
@@ -196,6 +299,7 @@ def test_on_batch(
     compute_loss: bool = True,
     fast_predict=None,
     bucket: int = 4096,
+    fast_predict_masked=None,
 ):
     """Reference ``test_on_batch_*`` semantics: predict deformed surface
     samples and deformed full-resolution vertices, stash them in the batch
@@ -209,7 +313,12 @@ def test_on_batch(
     Variable-size vertex queries are bucket-padded (exact: padded queries
     are sliced off, see ``utils/padding.py``).  When ``fast_predict`` (the
     fused Pallas path from ``models.fast_predict``) is given, both
-    evaluations route through it.
+    evaluations route through it; padded partial-shape batches (a
+    ``surface_valid_mask``) route through ``fast_predict_masked`` (the
+    ``with_mask=True`` fused predict — the single-device fused predict
+    accepts the optional mask directly, so callers may pass the same
+    callable for both) and fall back to the flax predict only when no
+    masked fused path was provided.
     """
     import numpy as np
 
@@ -218,17 +327,23 @@ def test_on_batch(
     inputs = batch["surface_samples_inputs"]
     surf_src = inputs[:, :, 0:3]
     point_mask = batch.get("surface_valid_mask")
-    if point_mask is not None or fast_predict is None:
-        # the fused fast path has no conditioning-mask support; padded
-        # partial shapes route through the flax predict
-        predictor = steps
-        batch["surface_samples_tgt_pred"] = np.asarray(
-            steps["predict"](state, surf_src, inputs, point_mask)
-        )
-    else:
+    if point_mask is None and fast_predict is not None:
         predictor = fast_predict
         batch["surface_samples_tgt_pred"] = np.asarray(
             fast_predict(jnp.asarray(surf_src), jnp.asarray(inputs))
+        )
+    elif point_mask is not None and fast_predict_masked is not None:
+        predictor = fast_predict_masked
+        batch["surface_samples_tgt_pred"] = np.asarray(
+            fast_predict_masked(
+                jnp.asarray(surf_src), jnp.asarray(inputs),
+                jnp.asarray(point_mask),
+            )
+        )
+    else:
+        predictor = steps
+        batch["surface_samples_tgt_pred"] = np.asarray(
+            steps["predict"](state, surf_src, inputs, point_mask)
         )
     if "verts_src" in batch:
         batch["verts_tgt_pred"] = predict_padded(

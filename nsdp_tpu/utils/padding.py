@@ -67,13 +67,17 @@ def predict_padded(steps, state, points, surface_samples_inputs, bucket=4096,
     """Evaluate the deformation field with query-axis bucket padding.
 
     ``steps`` is either the dict from ``make_steps`` (flax path, uses
-    ``state``; ``point_mask`` marks real conditioning rows for padded
-    partial shapes) or a bare ``predict(points, inputs)`` callable (fast
-    path, ``state`` ignored, no mask support).
+    ``state``) or a bare ``predict(points, inputs[, point_mask])`` callable
+    (fast path, ``state`` ignored).  ``point_mask`` marks real conditioning
+    rows for padded partial shapes on either path; a masked callable must
+    accept it as a third positional argument (``make_fast_predict`` does).
     """
     padded, q = pad_queries(np.asarray(points), bucket)
     if callable(steps):
-        out = steps(padded, surface_samples_inputs)
+        if point_mask is None:
+            out = steps(padded, surface_samples_inputs)
+        else:
+            out = steps(padded, surface_samples_inputs, point_mask)
     else:
         out = steps["predict"](state, padded, surface_samples_inputs,
                                point_mask)

@@ -1,0 +1,213 @@
+#!/usr/bin/env python
+"""Real-data parity runbook: published torch checkpoint vs converted model.
+
+The one-command check for the day the published checkpoints and datasets
+(``/root/reference/README.md:79-84``) are downloadable: convert the ``.pt``,
+run the real ``test.py`` CLI on it, and diff l2/fnc/cd pair-by-pair against
+a torch replica evaluated through the SAME dataset and metric code.  Exits
+nonzero if any aggregate metric differs by more than ``--threshold``
+(default 1%).
+
+  python scripts/eval_reference_parity.py CONFIG TORCH_PT \
+      [--dataset_dir D] [--split_dir S] [--max_pairs N] \
+      [--threshold 0.01] [--out report.json]
+
+Run once per published model/config pair (S1 forward/backward, S2
+arbitrary).  Until egress exists, ``tests/test_reference_parity_runbook.py``
+exercises this script end-to-end on the synthetic stand-in with a
+freshly-saved torch replica as the "published" file.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _enc_kw(config, no_corr):
+    kw = dict(config["model"]["encoder_kwargs"])
+    kw.update(has_features=not no_corr, inp_feat_dim=0 if no_corr else 4)
+    return kw
+
+
+def build_torch_replica(config, torch_file):
+    """The published checkpoint loaded into the torch re-implementation."""
+    import torch
+
+    from tests import torch_ref
+
+    model_type = config["model"]["type"]
+    dec = dict(config["model"]["decoder_kwargs"])
+    dec.setdefault("n_blocks", 5)
+    if model_type == "arbitrary":
+        model = torch_ref.FlowArb(
+            _enc_kw(config, True), _enc_kw(config, False), dec
+        )
+    else:
+        no_corr = model_type == "backward"
+        model = torch_ref.DefNet(_enc_kw(config, no_corr), dec, no_corr)
+    payload = torch.load(torch_file, map_location="cpu", weights_only=False)
+    state_dict = payload.get("model_state_dict", payload)
+    model.load_state_dict(state_dict)
+    model.eval()
+    return model
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("config_file", help="evaluation config YAML")
+    parser.add_argument("torch_file", help="published torch checkpoint (.pt)")
+    parser.add_argument("--dataset_dir", default=None)
+    parser.add_argument("--split_dir", default=None)
+    parser.add_argument("--out_dir", default=None,
+                        help="working/output directory (default: alongside "
+                        "the config's experiment out_dir)")
+    parser.add_argument("--max_pairs", type=int, default=0,
+                        help="bound the evaluated pairs (0 = all)")
+    parser.add_argument("--threshold", type=float, default=0.01,
+                        help="max allowed relative aggregate difference")
+    parser.add_argument("--out", default=None, help="write report JSON here")
+    args = parser.parse_args(argv)
+
+    import numpy as np
+    import torch
+    import yaml
+
+    import jax
+    jax.config.update("jax_default_matmul_precision", "highest")
+    import jax.numpy as jnp
+
+    from nsdp_tpu.data import dataset_dict
+    from nsdp_tpu.models import build_model
+    from nsdp_tpu.training import (
+        create_train_state,
+        make_steps,
+        optimizer_factory,
+    )
+    from nsdp_tpu.training.checkpoints import load_model_variables
+    from nsdp_tpu.utils.config import load_config
+    from nsdp_tpu.utils.logger import StatsLogger
+    from nsdp_tpu.utils.metrics import compute_evaluation_metrics
+
+    from scripts import convert_checkpoint
+
+    config = load_config(args.config_file)
+    if args.dataset_dir:
+        config["data"]["dataset_dir"] = args.dataset_dir
+    if args.split_dir:
+        config["data"]["split_dir"] = args.split_dir
+    out_dir = args.out_dir or os.path.join(
+        config["experiment"]["out_dir"] or ".", "reference_parity"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    model_type = config["model"]["type"]
+    if args.max_pairs:
+        config["test"]["num_sampled_pairs"] = args.max_pairs
+
+    # 1. convert the published file through the offline CLI
+    cfg_path = os.path.join(out_dir, "parity_config.yaml")
+    msgpack_path = os.path.join(out_dir, "converted.msgpack")
+    config["experiment"]["out_dir"] = out_dir
+    config["test"]["weight_file"] = msgpack_path
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(config, f)
+    convert_checkpoint.main(
+        [args.torch_file, msgpack_path, "--model-type", model_type,
+         "--config", cfg_path]
+    )
+
+    # 2. the real eval CLI end-to-end on the converted weights
+    StatsLogger.reset()
+    import test as test_cli
+
+    test_cli.main([cfg_path])
+    StatsLogger.reset()
+
+    # 3. pair-by-pair metric parity: torch replica vs converted JAX model
+    #    through the same dataset + metric code (same metric-sampling rng)
+    tmodel = build_torch_replica(config, args.torch_file)
+
+    Dataset = dataset_dict[config["data"]["type"]]
+    ds = Dataset(
+        config,
+        iden_split=config["test"]["iden_split"],
+        motion_split=config["test"]["motion_split"],
+        load_mesh=True,
+        num_sampled_pairs=config["test"]["num_sampled_pairs"],
+        rng=np.random.RandomState(0),
+    )
+    model = build_model(config)
+    _, tx = optimizer_factory(config.get("training", {}))
+    steps = make_steps(model, model_type, tx)
+
+    item0 = ds[0]
+    inputs0 = jnp.asarray(item0["surface_samples_inputs"])[None]
+    pts0 = jnp.asarray(item0["surface_samples_src"])[None]
+    if model_type == "arbitrary":
+        example = (
+            pts0, inputs0[..., 0:3], inputs0[..., 3:6], inputs0[..., 6:7]
+        )
+    else:
+        example = (pts0, inputs0)
+    state = create_train_state(model, jax.random.PRNGKey(0), example, tx)
+    state = load_model_variables(msgpack_path, state)
+
+    n_pairs = len(ds)
+    agg = {"l2": [[], []], "fnc": [[], []], "cd": [[], []]}
+    for i in range(n_pairs):
+        batch = ds.collate_fn([ds[i]])
+        inputs = batch["surface_samples_inputs"]
+        with torch.no_grad():
+            if model_type == "arbitrary":
+                t_verts = tmodel(
+                    torch.tensor(batch["verts_src"]),
+                    torch.tensor(inputs[:, :, 0:3]),
+                    torch.tensor(inputs[:, :, 3:6]),
+                    torch.tensor(inputs[:, :, 6:7]),
+                ).numpy()
+            else:
+                t_verts = tmodel(
+                    torch.tensor(batch["verts_src"]), torch.tensor(inputs)
+                ).numpy()
+        j_verts = np.asarray(
+            steps["predict"](
+                state, jnp.asarray(batch["verts_src"]), jnp.asarray(inputs)
+            )
+        )
+        t_m = compute_evaluation_metrics(
+            dict(batch, verts_tgt_pred=t_verts), rng=np.random.RandomState(i)
+        )
+        j_m = compute_evaluation_metrics(
+            dict(batch, verts_tgt_pred=j_verts), rng=np.random.RandomState(i)
+        )
+        for k in agg:
+            # the reference's aggregation drops values > 1.0 (test.py:139)
+            if t_m[k] <= 1.0:
+                agg[k][0].append(float(t_m[k]))
+            if j_m[k] <= 1.0:
+                agg[k][1].append(float(j_m[k]))
+
+    report = {"pairs": n_pairs, "metrics": {}}
+    ok = True
+    for k, (t_vals, j_vals) in agg.items():
+        t_mean = float(np.mean(t_vals)) if t_vals else float("nan")
+        j_mean = float(np.mean(j_vals)) if j_vals else float("nan")
+        rel = abs(j_mean - t_mean) / max(abs(t_mean), 1e-12)
+        report["metrics"][k] = {
+            "torch": t_mean, "jax": j_mean, "rel_diff": rel,
+        }
+        if not np.isfinite(rel) or rel > args.threshold:
+            ok = False
+    report["threshold"] = args.threshold
+    report["ok"] = ok
+    print(json.dumps(report, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -134,8 +134,18 @@ def test_flagship_conversion_and_eval(tmp_path):
     j_batch = dict(batch, verts_tgt_pred=j_verts)
     t_metrics = compute_evaluation_metrics(t_batch, rng=np.random.RandomState(1))
     j_metrics = compute_evaluation_metrics(j_batch, rng=np.random.RandomState(1))
-    for k in ("l2", "fnc", "cd"):
+    # l2/cd are Lipschitz in the vertex positions, so the 5e-4 vertex bound
+    # asserted above translates directly; rtol 1e-3 holds.  fnc does NOT:
+    # the replica is untrained, its predicted vertices are near-degenerate,
+    # and a face normal's direction is the cross product of tiny edge
+    # vectors — a permitted 5e-4 vertex deviation rotates the normal of a
+    # short-edged face by up to (5e-4 / edge_length) radians, unboundedly
+    # amplifying into the fnc mean (observed: rel. diff 1.17e-3 flaked the
+    # old rtol=1e-3 across reruns).  rtol 5e-3 gives 4x margin over the
+    # observed worst case while still catching real conversion bugs, which
+    # show O(1) metric differences.
+    for k, rtol in (("l2", 1e-3), ("fnc", 5e-3), ("cd", 1e-3)):
         np.testing.assert_allclose(
-            j_metrics[k], t_metrics[k], rtol=1e-3, atol=1e-5,
+            j_metrics[k], t_metrics[k], rtol=rtol, atol=1e-5,
             err_msg=f"metric {k}",
         )

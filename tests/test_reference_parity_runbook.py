@@ -1,0 +1,70 @@
+"""The real-data parity runbook exercised on the synthetic stand-in.
+
+``scripts/eval_reference_parity.py`` is the one-command check for the day
+the published checkpoints (``/root/reference/README.md:79-84``) are
+downloadable; until then this test feeds it a freshly-saved torch replica
+as the "published" ``.pt`` over the synthetic fixture set and asserts the
+converted model agrees within the 1% gate (VERDICT r2 item 10).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+torch = pytest.importorskip("torch")
+
+from nsdp_tpu.data.synthetic import generate_synthetic_dataset, synthetic_config
+
+from tests import torch_ref
+
+
+def test_parity_runbook_synthetic(tmp_path):
+    fixture = generate_synthetic_dataset(
+        str(tmp_path / "data"), n_identities=1, n_motions_per_identity=1,
+        n_frames=2, n_surface=200, n_space=200,
+    )
+    cfg = synthetic_config(
+        fixture, model_type="arbitrary", arbitrary=True,
+        n_surface=128, n_space=128, tiny_model=True,
+    )
+    cfg["experiment"]["out_dir"] = str(tmp_path / "out")
+    cfg["test"]["num_sampled_pairs"] = 1
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    # the "published" checkpoint: a torch replica at the config's dims
+    torch.manual_seed(3)
+
+    def enc_kw(no_corr):
+        kw = dict(cfg["model"]["encoder_kwargs"])
+        kw.update(has_features=not no_corr, inp_feat_dim=0 if no_corr else 4)
+        return kw
+
+    dec = dict(cfg["model"]["decoder_kwargs"])
+    dec.setdefault("n_blocks", 5)
+    tmodel = torch_ref.FlowArb(enc_kw(True), enc_kw(False), dec)
+    pt_path = str(tmp_path / "published.pt")
+    torch.save({"model_state_dict": tmodel.state_dict()}, pt_path)
+
+    from nsdp_tpu.utils.logger import StatsLogger
+
+    StatsLogger.reset()
+    from scripts import eval_reference_parity
+
+    report_path = str(tmp_path / "report.json")
+    rc = eval_reference_parity.main(
+        [cfg_path, pt_path, "--max_pairs", "1", "--out", report_path]
+    )
+    assert rc == 0
+    with open(report_path) as f:
+        report = json.load(f)
+    assert report["ok"]
+    for k in ("l2", "fnc", "cd"):
+        assert report["metrics"][k]["rel_diff"] <= 0.01
+    # the CLI artifacts exist (test.py really ran on the converted file)
+    out_dir = os.path.join(cfg["experiment"]["out_dir"], "reference_parity")
+    assert os.path.isfile(os.path.join(out_dir, "converted.msgpack"))

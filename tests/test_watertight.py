@@ -72,6 +72,56 @@ def test_watertight_file_roundtrip(holed_sphere, tmp_path):
     assert _boundary_edge_count(np.asarray(w_faces)) == 0
 
 
+def test_poisson_reconstruct_sphere():
+    """Screened-Poisson reconstruction of an oriented sphere sampling:
+    closed output, radius within a few percent, interior classified inside
+    (the spectral screening must not decay the indicator plateau)."""
+    from nsdp_tpu.preprocess.poisson import poisson_reconstruct
+
+    rng = np.random.RandomState(0)
+    pts = rng.randn(20000, 3)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    w_verts, w_faces = poisson_reconstruct(pts, pts, depth=6)
+    assert _boundary_edge_count(w_faces) == 0
+    r = np.linalg.norm(w_verts, axis=1)
+    assert 0.93 < r.mean() < 1.07
+    assert r.std() < 0.05
+
+
+def test_poisson_closes_open_mesh(holed_sphere):
+    """The meshlab screened-Poisson watertight path (make_watertight.sh:19)
+    closes an open mesh like the sdf path does."""
+    from nsdp_tpu.preprocess.poisson import watertight_mesh_poisson
+
+    verts, faces = holed_sphere
+    w_verts, w_faces = watertight_mesh_poisson(
+        verts, faces, depth=6, n_samples=50000,
+        rng=np.random.RandomState(0),
+    )
+    assert _boundary_edge_count(w_faces) == 0
+    r = np.linalg.norm(w_verts, axis=1)
+    assert 0.85 < r.mean() < 1.1
+
+
+def test_pipeline_poisson_method(holed_sphere, tmp_path):
+    from nsdp_tpu.preprocess.normalize import normalize_mesh_file
+    from nsdp_tpu.utils import meshio
+
+    verts, faces = holed_sphere
+    src = str(tmp_path / "frame.obj")
+    meshio.save_mesh(src, verts.astype(np.float32), faces)
+    out_dir = str(tmp_path / "out")
+    normalize_mesh_file(
+        src, out_dir, make_watertight=True,
+        watertight_method="poisson", watertight_depth=6,
+    )
+    assert os.path.isfile(os.path.join(out_dir, "model_watertight.ply"))
+    nverts, nfaces = meshio.load_mesh(
+        os.path.join(out_dir, "model_normalized.obj")
+    )
+    assert _boundary_edge_count(np.asarray(nfaces)) == 0
+
+
 def test_pipeline_flag_writes_watertight(holed_sphere, tmp_path):
     """normalize_mesh_file(make_watertight=True) mirrors the shell contract:
     model_watertight.ply + normalisation computed from the remesh."""

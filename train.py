@@ -48,7 +48,15 @@ def main(argv):
 
     from nsdp_tpu.data import DataLoader, dataset_dict
     from nsdp_tpu.models import build_model
-    from nsdp_tpu.parallel import make_train_mesh, replicate, shard_batch
+    from nsdp_tpu.parallel import (
+        globalize_batch,
+        initialize_distributed,
+        is_main_process,
+        local_slice,
+        make_train_mesh,
+        process_batch_slice,
+        replicate,
+    )
     from nsdp_tpu.training import (
         create_train_state,
         load_best_checkpoints,
@@ -64,15 +72,24 @@ def main(argv):
     from nsdp_tpu.utils.logger import StatsLogger, WandB
 
     np.random.seed(args.seed)
-    print("Running on", jax.devices())
+    # Multi-host: no-op on a single host; on a pod slice this must run
+    # before the first device query so every process sees the global
+    # topology (SURVEY.md §2.9 "per-host data loading over DCN").
+    initialize_distributed()
+    n_proc = jax.process_count()
+    main_proc = is_main_process()
+    print(f"Running on {jax.devices()} ({n_proc} process(es))")
 
     config = load_config(args.config_file)
     output_directory = config["experiment"]["out_dir"]
     experiment_name = config["experiment"]["name"]
     experiment_directory = os.path.join(output_directory, experiment_name)
     os.makedirs(experiment_directory, exist_ok=True)
-    save_experiment_params(args, experiment_name, experiment_directory, config)
-    print(f"Save experiment statistics in {experiment_directory}")
+    if main_proc:
+        save_experiment_params(
+            args, experiment_name, experiment_directory, config
+        )
+        print(f"Save experiment statistics in {experiment_directory}")
 
     # datasets + loaders
     Dataset = dataset_dict[config["data"]["type"]]
@@ -91,9 +108,15 @@ def main(argv):
         num_sampled_pairs=config["validation"]["num_sampled_pairs"],
     )
     batch_size = config["training"].get("batch_size", 16)
+    # Multi-host input sharding: every process draws the same shuffled index
+    # order (same seed) and assembles only its slice of each global batch;
+    # globalize_batch stitches the host shards into one global array so DCN
+    # carries only input data, never gradients.  Single-process the slice is
+    # the whole batch.
     train_loader = DataLoader(
         train_dataset, batch_size=batch_size, shuffle=True,
         drop_last=True, num_workers=args.num_workers, seed=args.seed,
+        batch_slice=process_batch_slice(batch_size) if n_proc > 1 else None,
     )
     print(f"Loaded {len(train_dataset)} training deformation pairs")
     # drop_last=False: the reference evaluates every validation sample
@@ -106,13 +129,23 @@ def main(argv):
     )
     print(f"Loaded {len(validation_dataset)} validation deformation pairs")
 
-    # model + optimizer + state
+    # mesh: data-parallel over as many chips as divide the TRAIN batch;
+    # validation batches are padded up to a multiple of the mesh's data axis
+    # (a val batch_size of 1 must not silently shrink training to one chip).
+    mesh = make_train_mesh(batch_size)
+    data_axis = mesh.shape["data"]
+    val_target = -(-val_batch_size // data_axis) * data_axis
+
+    # model + optimizer + state.  The mesh is passed to make_steps so the
+    # multi-device steps run under shard_map (the Pallas kernels cannot be
+    # partitioned by GSPMD; see training/steps.py).
     model_type = config["model"]["type"]
     model = build_model(config)
     lr_schedule, tx = optimizer_factory(config["training"])
     steps = make_steps(
         model, model_type, tx,
         nan_guard=config["training"].get("nan_guard", False),
+        mesh=mesh,
     )
 
     example_batch = train_dataset.collate_fn(
@@ -149,19 +182,13 @@ def main(argv):
     state, _, _ = load_best_checkpoints(state, experiment_directory, args)
     state, _ = load_checkpoints(state, experiment_directory, args)
 
-    # mesh: data-parallel over as many chips as divide the TRAIN batch;
-    # validation batches are padded up to a multiple of the mesh's data axis
-    # (a val batch_size of 1 must not silently shrink training to one chip).
-    mesh = make_train_mesh(batch_size)
-    data_axis = mesh.shape["data"]
-    val_target = -(-val_batch_size // data_axis) * data_axis
     print(
         f"Training mesh: {dict(mesh.shape)} "
         f"(validation batches padded {val_batch_size} -> {val_target})"
     )
     state = replicate(state, mesh)
 
-    if args.with_wandb_logger:
+    if args.with_wandb_logger and main_proc:
         WandB.instance().init(
             config,
             model=None,
@@ -171,9 +198,10 @@ def main(argv):
             log_frequency=10,
         )
     logger = StatsLogger.instance()
-    logger.add_output_file(
-        open(os.path.join(experiment_directory, "stats.txt"), "w")
-    )
+    if main_proc:
+        logger.add_output_file(
+            open(os.path.join(experiment_directory, "stats.txt"), "w")
+        )
 
     epochs = config["training"].get("epochs", 1000)
     save_every = config["training"].get("save_frequency", 20)
@@ -193,7 +221,7 @@ def main(argv):
             # (same values reach the logger, printed one step late).
             pending = None
             for b, batch in enumerate(train_loader):
-                batch = shard_batch(batch, mesh)
+                batch = globalize_batch(batch, mesh)
                 state, loss = steps["train_step"](state, batch, lr)
                 if pending is not None:
                     pb, pl = pending
@@ -207,25 +235,34 @@ def main(argv):
                 logger["steps_per_sec"].value = timer.steps_per_sec
                 logger.print_progress(epoch + 1, pb + 1, float(pl))
 
-        if (epoch % save_every) == 0:
+        if (epoch % save_every) == 0 and main_proc:
             checkpointer.save(epoch, state, experiment_directory)
         logger.clear()
 
         if epoch % val_every == 0 and epoch > 0:
             print("====> Validation Epoch ====>")
             for b, batch in enumerate(val_loader):
+                # validation batches are assembled whole on every process
+                # (cheap at val batch sizes), padded, then cut down to the
+                # local rows before globalizing
                 batch, sample_mask = pad_batch(batch, val_target)
-                batch = shard_batch(batch, mesh)
-                sample_mask = shard_batch({"m": sample_mask}, mesh)["m"]
+                if n_proc > 1:
+                    batch = local_slice(batch, val_target)
+                    sample_mask = local_slice(
+                        {"m": sample_mask}, val_target
+                    )["m"]
+                batch = globalize_batch(batch, mesh)
+                sample_mask = globalize_batch({"m": sample_mask}, mesh)["m"]
                 loss = steps["validate_step_masked"](
                     state, batch, sample_mask
                 )
                 logger.print_progress(-1, b + 1, float(loss))
             val_loss = logger.loss
             if val_loss < args.best_val_loss:
-                checkpointer.save_best(
-                    epoch, state, experiment_directory, val_loss
-                )
+                if main_proc:
+                    checkpointer.save_best(
+                        epoch, state, experiment_directory, val_loss
+                    )
                 args.best_val_loss = val_loss
             logger.clear()
             print("====> Validation Epoch ====>")
