@@ -155,6 +155,11 @@ def main(argv=None):
     state = load_model_variables(msgpack_path, state)
 
     n_pairs = len(ds)
+    # raw per-pair values (the parity gate) and the reference-style
+    # filtered aggregate (values > 1.0 dropped, test.py:139) side by side:
+    # the drop rule can empty a metric entirely (untrained weights), so
+    # parity is gated on the raw means, which are always defined.
+    raw = {"l2": [[], []], "fnc": [[], []], "cd": [[], []]}
     agg = {"l2": [[], []], "fnc": [[], []], "cd": [[], []]}
     for i in range(n_pairs):
         batch = ds.collate_fn([ds[i]])
@@ -183,6 +188,8 @@ def main(argv=None):
             dict(batch, verts_tgt_pred=j_verts), rng=np.random.RandomState(i)
         )
         for k in agg:
+            raw[k][0].append(float(t_m[k]))
+            raw[k][1].append(float(j_m[k]))
             # the reference's aggregation drops values > 1.0 (test.py:139)
             if t_m[k] <= 1.0:
                 agg[k][0].append(float(t_m[k]))
@@ -191,14 +198,24 @@ def main(argv=None):
 
     report = {"pairs": n_pairs, "metrics": {}}
     ok = True
-    for k, (t_vals, j_vals) in agg.items():
-        t_mean = float(np.mean(t_vals)) if t_vals else float("nan")
-        j_mean = float(np.mean(j_vals)) if j_vals else float("nan")
+    for k in raw:
+        t_mean = float(np.mean(raw[k][0]))
+        j_mean = float(np.mean(raw[k][1]))
         rel = abs(j_mean - t_mean) / max(abs(t_mean), 1e-12)
+        t_f, j_f = agg[k]
         report["metrics"][k] = {
-            "torch": t_mean, "jax": j_mean, "rel_diff": rel,
+            "torch": t_mean,
+            "jax": j_mean,
+            "rel_diff": rel,
+            "torch_filtered": float(np.mean(t_f)) if t_f else None,
+            "jax_filtered": float(np.mean(j_f)) if j_f else None,
+            "kept_torch": len(t_f),
+            "kept_jax": len(j_f),
         }
         if not np.isfinite(rel) or rel > args.threshold:
+            ok = False
+        # the two sides must also drop the same pairs
+        if len(t_f) != len(j_f):
             ok = False
     report["threshold"] = args.threshold
     report["ok"] = ok
