@@ -21,7 +21,7 @@ def parse_args(argv):
     parser.add_argument("config_file", help="experiment configuration YAML")
     parser.add_argument("--num_workers", type=int, default=0)
     parser.add_argument("--num_threads", type=int, default=4)
-    parser.add_argument("--matmul_precision", default="highest",
+    parser.add_argument("--matmul_precision", default="default",
                         choices=["default", "high", "highest"])
     return parser.parse_args(argv)
 

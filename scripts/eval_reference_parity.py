@@ -122,7 +122,9 @@ def main(argv=None):
     StatsLogger.reset()
     import test as test_cli
 
-    test_cli.main([cfg_path])
+    # parity wants bit-level agreement with the torch replica, so override
+    # the CLI's round-3 'default' precision default
+    test_cli.main([cfg_path, "--matmul_precision", "highest"])
     StatsLogger.reset()
 
     # 3. pair-by-pair metric parity: torch replica vs converted JAX model

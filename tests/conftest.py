@@ -28,6 +28,17 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(autouse=True)
+def _pin_matmul_precision():
+    """The CLIs set ``jax_default_matmul_precision`` from their own flag
+    (default 'default' since round 3); entry-point tests run the CLI mains
+    in-process, which would leak the lower precision into later parity
+    tests.  Restore the suite's 'highest' pin after every test."""
+    yield
+    if jax.config.jax_default_matmul_precision != "highest":
+        jax.config.update("jax_default_matmul_precision", "highest")
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)

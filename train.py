@@ -30,9 +30,12 @@ def parse_args(argv):
     parser.add_argument("--continue_from_epoch", type=int, default=0)
     parser.add_argument("--best_val_loss", type=float, default=9999999999999)
     parser.add_argument("--with_wandb_logger", action="store_true")
-    parser.add_argument("--matmul_precision", default="highest",
+    parser.add_argument("--matmul_precision", default="default",
                         choices=["default", "high", "highest"],
-                        help="f32 matmul precision on the MXU")
+                        help="f32 matmul precision of the XLA path on the "
+                        "MXU (distance computations pin HIGHEST internally; "
+                        "'highest' here is ~4x slower per step — use it for "
+                        "bit-level parity runs)")
     parser.add_argument("--profile_dir", default=None,
                         help="write a jax.profiler trace of epoch 0's first "
                         "steps to this directory")
