@@ -270,9 +270,18 @@ class TransformerBlock(fnn.Module):
             gw = TwoLayerMLPWeights(self.d_model, name="fc_gamma")(self.d_model)
             kk = min(self.k, n)
             if self.pos_only:
+                # tile 256 is ~15% faster fwd+bwd than 128 at the hot
+                # pos-only shape (Q=M=5000, k=10, batch 16: 24.2 ->
+                # 20.7 ms; chip sweep, docs/PERFORMANCE.md).  Scoped VMEM
+                # stays moderate without K/V gather tables (k unrolled
+                # (T, M) one-hots ~52 MB at the flagship shape).  The
+                # featured branch below keeps the 128 default: 256
+                # measured *slower* there and 1024 (the only faster
+                # point, -4%) risks the k-unrolled one-hot VMEM blowup
+                # in fusion contexts (commit 8e4c9b3).
                 res = knn_vector_attention(
                     xyz, xyz, None, None, None, None, None, kv_mask,
-                    *dw, *gw, kk
+                    *dw, *gw, kk, 256,
                 )
             else:
                 q = fnn.Dense(self.d_model, use_bias=False, name="w_qs")(feats)
@@ -379,10 +388,13 @@ class TransformerSetAbstraction(fnn.Module):
             g2w = TwoLayerMLPWeights(self.dim, name="fc_gamma2")(self.dim)
             kk = min(self.nneigh, xyz.shape[1])
             q1 = index_points(dense("w_qs")(points), fps_idx)
-            # tile stays at the 128 default: 512 is ~6% faster in isolation
-            # but k unrolled (T, M) one-hots live at once put the kernel at
-            # ~117 MB scoped VMEM — over the 100 MB limit in some fusion
-            # contexts (flagship k=16, M=5000)
+            # tile stays at the 128 default: 256 measured as noise at the
+            # hot TSA shape (500 centres over 5000 points, k=16, batch 16:
+            # 5.74 vs 5.79 ms) and 512 overruns scoped VMEM with the
+            # k-unrolled (T, M) one-hots (~117 MB, commit 8e4c9b3).  (512
+            # DID win 24% on a bf16-operand table variant of the kernel,
+            # but that variant regressed end-to-end and was reverted —
+            # docs/PERFORMANCE.md, "gather operand width".)
             res1 = knn_vector_attention(
                 -new_xyz, -xyz, q1,
                 dense("w_ks")(points), dense("w_vs")(points),

@@ -27,34 +27,19 @@ one matmul.  Per slot this is 2 instead of 3 gathers forward, and 4 instead
 of 6 gather/scatter matmuls backward — exact same arithmetic per column,
 just fewer MXU passes.
 
-Gather operand width (round 3): on the chip, the gather/scatter matmuls run
-in ``bfloat16`` operands explicitly.  Measured fact (slope protocol, stage-1
-hot shape T=128/M=5120/W=256/k=16): a dot at the DEFAULT f32 precision
-already truncates its operands to bf16 inside the single MXU pass (max
-abs err 3.55e-2 vs an exact gather — identical to an explicit bf16 cast),
-so the f32 operand layout bought no accuracy, only 2x the operand
-bandwidth; explicit bf16 operands are 1.76x faster per gather
-(0.93 -> 0.53 ms/call).  Exact-everything alternatives were measured and
-rejected: ``Precision.HIGHEST`` 8.4x slower, a 3-way-split FULL table 4.8x
-slower, and Mosaic lowers no dynamic-gather form at all
-(``take``/indexing/``dynamic_slice`` all fail to lower; same-shape
-``take_along_axis`` crashes the compiler).
-
-The one quantity that must NOT be truncated is the kv coordinates: the
-position delta ``dx = query - neighbour`` is a difference of NEARBY points
-(that is what kNN selects), so bf16 coords cancel catastrophically
-(measured mean ~2% of output std at 512-point scale).  The packed table
-therefore stores the coords as a two-way bf16 split ``[hi(3) | lo(3)]``
-inside the SAME 8-lane block the f32 layout used (16 mantissa bits; dx
-reconstructs to ~2e-4 relative — an order below the ambient bf16 matmul
-noise of the default-precision XLA path), so every table keeps its round-2
-lane width: the hot reduced-dim site (D=120) stays at one 128-lane pass.
-(A three-way 24-lane exact split was measured: it pushed D=120 tables to
-256 lanes and cost +10% on the stage-1 step — the 8 extra mantissa bits
-are not worth a second MXU pass.)  Feature (K/V) values have no
-cancellation structure (q - k_n differs O(1)); their bf16 truncation is
-ordinary mixed-precision noise.  In interpreter mode (CPU tests)
-everything stays exact f32.
+Gather operand width — bf16 operands measured and REJECTED (round 3): an
+explicit bf16 cast of the packed table (with the coords as a two-way bf16
+hi/lo split to survive the kNN-delta cancellation) is 1.76x faster per
+gather in isolation (0.93 -> 0.53 ms at T=128/M=5120/W=256), but
+end-to-end it REGRESSED every headline number on a same-day A/B —
+stage-1 step 78.4 -> 83.3 ms, inference 8.35M -> 7.77M qps, drag
+2.92 -> 3.29 ms — the hi/lo reconstruction, extra converts, and Mosaic
+relayouts around the mixed-dtype table cost more than the operand
+bandwidth saved (the gather matmul's cost is the (T, M) MXU pass, not
+operand width, exactly as the round-2 note said).  Operands stay f32;
+the DEFAULT-precision MXU pass truncates them to bf16-class internally
+anyway, so accuracy is unchanged.  Full experiment table in
+docs/PERFORMANCE.md.
 """
 
 from functools import partial
@@ -69,13 +54,13 @@ _F32 = jnp.float32
 
 # Every kernel dot pins its precision explicitly: the global
 # ``jax_default_matmul_precision`` config LEAKS into Pallas dots that leave
-# precision unset, and the CLIs set it to 'highest' — measured on the chip,
-# that ran every one-hot gather ~7.8x slower (0.93 -> 7.28 ms/call at the
-# probe shape) than the DEFAULT-precision pass all benchmarks used, and a
-# bf16-operand dot fails to compile under 'highest' entirely.  The kernels'
-# numerics are therefore fixed and config-independent: bf16 operands, f32
-# accumulation — ``--matmul_precision`` governs the XLA (flax) path only.
+# precision unset, and parity runs set it to 'highest' -- measured on the
+# chip, that ran every one-hot gather ~7.8x slower (0.93 -> 7.28 ms/call at
+# the probe shape) than the DEFAULT-precision pass all benchmarks used.
+# Kernel numerics and speed are therefore config-independent:
+# ``--matmul_precision`` governs the XLA (flax) path only.
 _DOT_PREC = jax.lax.Precision.DEFAULT
+
 
 
 def _resolve_interpret(interpret):
@@ -159,22 +144,12 @@ def _attn_kernel(
         m = jnp.min(d2, axis=-1, keepdims=True)
         idx = jnp.min(jnp.where(d2 == m, lane, big), axis=-1, keepdims=True)
         d2 = jnp.where(lane == idx, jnp.inf, d2)
-        # one-hot in the table's dtype (bf16 on chip): the MXU truncates
-        # operands to bf16 inside the default-precision pass anyway, so
-        # bf16 operands are numerically identical and half the bandwidth
-        # (module docstring, "Gather operand width")
-        onehot = (lane == idx).astype(xk.dtype)
+        onehot = (lane == idx).astype(_F32)
         idx_cols.append(idx)
 
-        # one gather for coords AND keys (packed table); the coords come
-        # back as the hi/lo split at lane offsets 0/3 and reconstruct to
-        # ~16-bit precision (each pass product is exact: exact-bf16 onehot
-        # times a bf16 component, accumulated in f32)
+        # one gather for coords AND keys (packed table)
         gath = jnp.dot(onehot, xk, precision=_DOT_PREC, preferred_element_type=_F32)  # (T, 8|W)
-        lane8 = jax.lax.broadcasted_iota(jnp.int32, (T, 8), 1)
-        keep3 = (lane8 < 3).astype(_F32)
-        coords = (gath[:, :8] + _roll_left(gath, 3)[:, :8]) * keep3
-        dx = xyzq - coords
+        dx = xyzq - gath[:, :8]
         pos = _mlp2(dx, dw0, db0, dw1, db1)  # (T, D)
         if pos_only:
             logits = _mlp2(pos, gw0, gb0, gw1, gb1)
@@ -236,7 +211,7 @@ def _attn_bwd_kernel(
     dxyzq_ref, dxk_ref, dq_ref, dv_out_ref, dglob_ref,
     ddw0_ref, ddb0_ref, ddw1_ref, ddb1_ref,
     dgw0_ref, dgb0_ref, dgw1_ref, dgb1_ref,
-    *, k: int, pos_only: bool, has_global: bool, gd=_F32,
+    *, k: int, pos_only: bool, has_global: bool,
 ):
     """Backward of the fused attention.
 
@@ -411,9 +386,7 @@ def _attn_bwd_kernel(
         ddb1_a += db1_d
 
         dxyzq_acc = dxyzq_acc + ddx
-        # scatter matmuls in the gather dtype (bf16 on chip): identical to
-        # the default-precision f32 pass, half the operand bandwidth
-        onehot = (lane == idxs[j]).astype(gd)
+        onehot = (lane == idxs[j]).astype(_F32)
         # one packed scatter: [-ddx into d_kv_xyz | -du into dK]
         if pos_only:
             scat = ddx
@@ -422,12 +395,12 @@ def _attn_bwd_kernel(
                 _pad_lanes(du, W), W - 8
             )
         dxk_acc = dxk_acc + jax.lax.dot_general(
-            onehot, scat.astype(gd), (((0,), (0,)), ((), ())),
+            onehot, scat, (((0,), (0,)), ((), ())),
             precision=_DOT_PREC, preferred_element_type=_F32,
         ) * (-1.0)
         if not pos_only:
             dv_acc = dv_acc + jax.lax.dot_general(
-                onehot, dval.astype(gd), (((0,), (0,)), ((), ())),
+                onehot, dval, (((0,), (0,)), ((), ())),
                 precision=_DOT_PREC, preferred_element_type=_F32,
             )
 
@@ -467,40 +440,22 @@ def _attn_bwd_kernel(
     dgb1_ref[0] += dgb1_a
 
 
-def _pack_xk(kv_xyz, K_a, m_pad, dtype=_F32):
-    """Build the packed gather table ``[coords hi(3)|lo(3)|pad(2) | K]``.
+def _pack_xk(kv_xyz, K_a, m_pad):
+    """Build the packed gather table [coords (8 lanes) | K (D lanes)].
 
-    ``dtype`` is the gather-matmul operand dtype: bf16 on the chip (the
-    default-precision MXU pass truncates operands to bf16 regardless, so
-    an explicit cast is numerically identical for the features and halves
-    the operand bandwidth — 1.76x faster per gather, measured), f32 in
-    interpreter mode.  Coordinates are stored as a two-way bf16 split
-    inside the original 8-lane coord block so the position delta survives
-    cancellation at unchanged table width (module docstring); in f32 mode
-    hi carries the exact coords and lo is zero, so one layout serves both.
-    The round-2 "bf16 cast measured as a no-op" note was an artifact: only
-    the K block was cast, and concatenating with f32 coords promoted the
-    whole packed table back to f32.
+    Coordinates stay f32 (the position-encoding delta must be exact);
+    consequently the packed K block is f32 too — measured a no-op on the
+    benchmark chip vs a bf16 cast (the gather matmul's MXU passes are the
+    cost, not operand width).
     """
     B, M, _ = kv_xyz.shape
-    xyz = kv_xyz.astype(_F32)
-    if jnp.dtype(dtype) == _F32:
-        # interpret mode: full-precision coords in hi, zero lo — exact
-        hi, lo = xyz, jnp.zeros_like(xyz)
-    else:
-        hi = xyz.astype(jnp.bfloat16).astype(_F32)
-        lo = (xyz - hi).astype(jnp.bfloat16).astype(_F32)
-    # [hi(3) | lo(3) | pad(2)] — the split rides the 8-lane coord block
-    xyz8 = jnp.pad(
-        jnp.concatenate([hi, lo], axis=-1).astype(dtype),
-        ((0, 0), (0, m_pad - M), (0, 2)),
-    )
+    xyz8 = jnp.pad(kv_xyz.astype(_F32), ((0, 0), (0, m_pad - M), (0, 5)))
     if K_a is None:
         return xyz8, 8
     D = K_a.shape[-1]
     W = _round_up(8 + D, 128)
     K_p = jnp.pad(
-        K_a.astype(dtype), ((0, 0), (0, m_pad - M), (0, W - 8 - D))
+        K_a.astype(_F32), ((0, 0), (0, m_pad - M), (0, W - 8 - D))
     )
     return jnp.concatenate([xyz8, K_p], axis=-1), W
 
@@ -559,11 +514,9 @@ def fused_vector_attention(
     if has_global and pos_only:
         raise ValueError("global token requires query features")
     cd = jnp.dtype(compute_dtype) if compute_dtype is not None else _F32
-    # distance inputs stay f32 (kNN selection must be exact); the
-    # gather-table operands run bf16 on chip / f32 in interpret mode
-    # (module docstring, "Gather operand width").
-    gd = _F32 if interpret else jnp.bfloat16
-    cast = lambda x: x.astype(cd if cd != _F32 else gd)
+    # distances and coordinate deltas stay f32 (selection must be exact);
+    # value-feature matmuls may run bf16 with f32 accumulation.
+    cast = lambda x: x.astype(cd)
 
     tile = min(tile, _round_up(Nq, 128))
     q_pad = _round_up(Nq, tile)
@@ -579,7 +532,7 @@ def fused_vector_attention(
         from nsdp_tpu.ops.knn import mask_penalty
 
         kvt = kvt.at[:, 3, :].set(mask_penalty(kv_mask, m_pad))
-    xk, w_lanes = _pack_xk(kv_xyz, None if pos_only else K_a, m_pad, dtype=gd)
+    xk, w_lanes = _pack_xk(kv_xyz, None if pos_only else K_a, m_pad)
     if pos_only:
         qf = jnp.zeros((B, q_pad, 1), _F32)
         V_p = jnp.zeros((B, m_pad, 1), _F32)
@@ -771,10 +724,9 @@ def _fused_attention_bwd(
         const((1, 1, D)),
     )
 
-    gd = _F32 if interpret else jnp.bfloat16
     outs = pl.pallas_call(
         partial(_attn_bwd_kernel, k=k, pos_only=pos_only,
-                has_global=has_global, gd=gd),
+                has_global=has_global),
         out_shape=out_shapes,
         grid=(B, n_tiles),
         in_specs=[
