@@ -13,6 +13,9 @@ just inference (VERDICT r2 item 6):
 
   * ``train_step_ms_stage1_b16`` — stage-1 (forward) train step, batch 16,
     5000/5000, bf16 + fused attention (the shipped fastest config);
+  * ``train_step_ms_stage1_bwd_b16`` — same for the stage-1 *backward*
+    net, whose first block is the pos-only attention site (the round-3
+    tile-256 win lives here: ~69 ms vs the forward net's ~83 ms);
   * ``train_step_ms_stage2_b8`` — stage-2 (arbitrary) full-composition
     step, batch 8, same config;
   * ``drag_ms`` — one edit-session handle drag (forward half only) at
@@ -27,8 +30,8 @@ synchronised once by a scalar fetch; per-call time is the slope between a
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
-   "train_step_ms_stage1_b16": N, "train_step_ms_stage2_b8": N,
-   "drag_ms": N}
+   "train_step_ms_stage1_b16": N, "train_step_ms_stage1_bwd_b16": N,
+   "train_step_ms_stage2_b8": N, "drag_ms": N}
 """
 
 import json
@@ -153,28 +156,43 @@ def main():
         "unit": "query_points/sec/chip",
         "vs_baseline": None,
         "train_step_ms_stage1_b16": None,
+        "train_step_ms_stage1_bwd_b16": None,
         "train_step_ms_stage2_b8": None,
         "drag_ms": None,
     }
     qps = _retry(measure_qps)
     result["value"] = round(qps, 1)
     result["vs_baseline"] = round(qps / 1e6, 4)
-    # secondary metrics must not sink the headline on a flaky tunnel day
-    try:
-        result["train_step_ms_stage1_b16"] = round(
-            _retry(lambda: bench_combo("bfloat16", True, 16, 8)) * 1e3, 1
-        )
-        result["train_step_ms_stage2_b8"] = round(
-            _retry(
-                lambda: bench_combo(
-                    "bfloat16", True, 8, 8, model_type="arbitrary"
-                )
-            ) * 1e3,
-            1,
-        )
-        result["drag_ms"] = round(_retry(measure_drag_ms), 2)
-    except Exception:
-        pass
+
+    # Secondary metrics must not sink the headline on a flaky tunnel day,
+    # but each failure is isolated (one broken path must not mask the
+    # rest) and logged to stderr (a null in BENCH_r*.json should be
+    # diagnosable as code vs tunnel).
+    def _secondary(key, fn, digits):
+        import sys
+
+        try:
+            result[key] = round(_retry(fn), digits)
+        except Exception as e:
+            print(f"bench: {key} failed: {e!r}", file=sys.stderr)
+
+    _secondary(
+        "train_step_ms_stage1_b16",
+        lambda: bench_combo("bfloat16", True, 16, 8) * 1e3, 1,
+    )
+    _secondary(
+        "train_step_ms_stage1_bwd_b16",
+        lambda: bench_combo("bfloat16", True, 16, 8, model_type="backward")
+        * 1e3,
+        1,
+    )
+    _secondary(
+        "train_step_ms_stage2_b8",
+        lambda: bench_combo("bfloat16", True, 8, 8, model_type="arbitrary")
+        * 1e3,
+        1,
+    )
+    _secondary("drag_ms", measure_drag_ms, 2)
     print(json.dumps(result))
 
 

@@ -27,18 +27,29 @@ one matmul.  Per slot this is 2 instead of 3 gathers forward, and 4 instead
 of 6 gather/scatter matmuls backward — exact same arithmetic per column,
 just fewer MXU passes.
 
-Gather operand width — bf16 operands measured and REJECTED (round 3): an
-explicit bf16 cast of the packed table (with the coords as a two-way bf16
-hi/lo split to survive the kNN-delta cancellation) is 1.76x faster per
-gather in isolation (0.93 -> 0.53 ms at T=128/M=5120/W=256), but
-end-to-end it REGRESSED every headline number on a same-day A/B —
-stage-1 step 78.4 -> 83.3 ms, inference 8.35M -> 7.77M qps, drag
-2.92 -> 3.29 ms — the hi/lo reconstruction, extra converts, and Mosaic
-relayouts around the mixed-dtype table cost more than the operand
-bandwidth saved (the gather matmul's cost is the (T, M) MXU pass, not
-operand width, exactly as the round-2 note said).  Operands stay f32;
-the DEFAULT-precision MXU pass truncates them to bf16-class internally
-anyway, so accuracy is unchanged.  Full experiment table in
+Gather operand width — bf16 TABLE dtype measured and REJECTED (round 3):
+an explicit bf16 cast of the packed table is 1.76x faster per gather in
+isolation (0.93 -> 0.53 ms at T=128/M=5120/W=256), but end-to-end it
+REGRESSED every headline number on a same-day A/B — stage-1 step
+78.4 -> 83.3 ms, inference 8.35M -> 7.77M qps, drag 2.92 -> 3.29 ms —
+the extra converts and Mosaic relayouts around the mixed-dtype table
+cost more than the operand bandwidth saved (the gather matmul's cost is
+the (T, M) MXU pass, not operand width).  The table stays f32.
+
+Coordinate precision: the gather dot runs at ``Precision.DEFAULT``
+(a ``highest`` gather is 7.8x slower), whose single MXU pass truncates
+operands to bf16-class — catastrophic for the kNN position delta
+``dx = query - neighbour`` if the coords were stored plainly (nearby
+points cancel; measured ~2% of output std).  The coords therefore ride
+as a Dekker hi/lo split IN F32 LANES (``_pack_xk``): ``hi`` is
+bf16-exact so the truncating pass gathers it exactly, ``lo`` carries
+the next 8 bits, and the kernel reconstructs
+``dx = (xyzq - hi) + (-lo)`` with one 8-lane roll+add+mask per slot —
+accurate to ~2^-16 relative on the MXU, bit-exact in interpreter mode,
+and EXACTLY zero for a self-attention query gathering itself (the
+reconstruction order matters for that last property; see the kernel
+comment).  No mixed-dtype table, so none of the convert/relayout cost
+of the rejected bf16-table variant.  Full experiment table in
 docs/PERFORMANCE.md.
 """
 
@@ -147,9 +158,21 @@ def _attn_kernel(
         onehot = (lane == idx).astype(_F32)
         idx_cols.append(idx)
 
-        # one gather for coords AND keys (packed table)
+        # one gather for coords AND keys (packed table); the coord block
+        # holds the hi/lo split (_pack_xk), reconstructed here as
+        # dx = (xyzq - hi) + (-lo) — NOT xyzq - (hi + lo): for a
+        # self-attention query gathering itself, (xyzq - hi) == lo
+        # bitwise, so dx cancels to EXACTLY zero like the XLA path's
+        # xyz - xyz.  That exactness matters: at zero-init biases the
+        # self-slot's relu preactivation sits exactly on the boundary,
+        # and ±1-ulp noise there flips subgradients — measured as O(1)
+        # systematic fc_delta bias-gradient error on the first train
+        # step of the arbitrary composition.
         gath = jnp.dot(onehot, xk, precision=_DOT_PREC, preferred_element_type=_F32)  # (T, 8|W)
-        dx = xyzq - gath[:, :8]
+        dxh = xyzq - gath[:, :8]  # [xyzq - hi | -lo | 0 0]
+        lane8 = jax.lax.broadcasted_iota(jnp.int32, (T, 8), 1)
+        keep3 = (lane8 < 3).astype(_F32)
+        dx = (dxh + _roll_left(dxh, 3)) * keep3
         pos = _mlp2(dx, dw0, db0, dw1, db1)  # (T, D)
         if pos_only:
             logits = _mlp2(pos, gw0, gb0, gw1, gb1)
@@ -441,15 +464,36 @@ def _attn_bwd_kernel(
 
 
 def _pack_xk(kv_xyz, K_a, m_pad):
-    """Build the packed gather table [coords (8 lanes) | K (D lanes)].
+    """Build the packed gather table ``[coords hi(3)|lo(3)|pad(2) | K]``.
 
-    Coordinates stay f32 (the position-encoding delta must be exact);
-    consequently the packed K block is f32 too — measured a no-op on the
-    benchmark chip vs a bf16 cast (the gather matmul's MXU passes are the
-    cost, not operand width).
+    The table is plain f32 (a bf16 TABLE dtype was measured and rejected —
+    module docstring), but the one-hot gather matmul runs at
+    ``Precision.DEFAULT``, whose single MXU pass truncates each operand to
+    bf16-class.  A plainly-stored coordinate would come back with ~8
+    mantissa bits and the position delta ``dx = query − neighbour`` — a
+    difference of NEARBY points, that is what kNN selects — would lose
+    most of its significance to cancellation.  The coords therefore ride
+    as a Dekker-style two-way split in f32 lanes: ``hi`` is the coordinate
+    rounded to bf16 (exactly representable, so the truncating MXU pass
+    gathers it EXACTLY) and ``lo = coord − hi`` carries the next 8
+    mantissa bits (its own bf16 truncation is ~2^-16 relative to the
+    coordinate).  In interpreter mode nothing truncates and ``hi + lo``
+    reconstructs the f32 coordinate bit-exactly (the split is exact).
+
+    The kernel reconstructs ``dx = (xyzq − hi) + (−lo)`` from the gathered
+    split (one 8-lane roll + add + mask per slot — see the comment in
+    ``_attn_kernel`` for why that order, and not ``xyzq − (hi + lo)``,
+    preserves the exact zero of the self-attention delta).  Feature (K)
+    values keep plain truncation: ``q − k_n`` differs O(1), no
+    cancellation structure.
     """
     B, M, _ = kv_xyz.shape
-    xyz8 = jnp.pad(kv_xyz.astype(_F32), ((0, 0), (0, m_pad - M), (0, 5)))
+    xyz = kv_xyz.astype(_F32)
+    hi = xyz.astype(jnp.bfloat16).astype(_F32)
+    lo = xyz - hi
+    xyz8 = jnp.pad(
+        jnp.concatenate([hi, lo], axis=-1), ((0, 0), (0, m_pad - M), (0, 2))
+    )
     if K_a is None:
         return xyz8, 8
     D = K_a.shape[-1]
@@ -458,6 +502,18 @@ def _pack_xk(kv_xyz, K_a, m_pad):
         K_a.astype(_F32), ((0, 0), (0, m_pad - M), (0, W - 8 - D))
     )
     return jnp.concatenate([xyz8, K_p], axis=-1), W
+
+
+def _split_w0(delta_w0, cast=None):
+    """Position-MLP input weights (3, D) → (1, 8, D), zero-padded.
+
+    (A rows-0-2-duplicated variant that fed the raw split delta to the
+    MLP was tried and reverted: it loses the exact zero of the
+    self-attention delta — see the dx reconstruction comment in
+    ``_attn_kernel``.)"""
+    assert delta_w0.shape[0] == 3, delta_w0.shape
+    w = delta_w0.astype(_F32) if cast is None else cast(delta_w0)
+    return jnp.pad(w, ((0, 5), (0, 0)))[None]
 
 
 @partial(jax.jit, static_argnames=("k", "tile", "interpret", "return_idx",
@@ -542,7 +598,7 @@ def fused_vector_attention(
         V_p = jnp.pad(cast(V_a), ((0, 0), (0, m_pad - M), (0, 0)))
         feat_d = D
 
-    dw0 = jnp.pad(cast(delta_w0), ((0, 8 - delta_w0.shape[0]), (0, 0)))[None]
+    dw0 = _split_w0(delta_w0, cast)
     dw1 = cast(delta_w1)[None]
     gw0 = cast(gamma_w0)[None]
     gw1 = cast(gamma_w1)[None]
@@ -667,7 +723,7 @@ def _fused_attention_bwd(
         qf = jnp.pad(q_feats.astype(_F32), ((0, 0), (0, q_pad - Nq), (0, 0)))
         feat_d = D
 
-    dw0 = jnp.pad(delta_w0.astype(_F32), ((0, 8 - delta_w0.shape[0]), (0, 0)))[None]
+    dw0 = _split_w0(delta_w0)
     dw1 = delta_w1.astype(_F32)[None]
     gw0 = gamma_w0.astype(_F32)[None]
     gw1 = gamma_w1.astype(_F32)[None]
@@ -755,14 +811,16 @@ def _fused_attention_bwd(
     (dxyzq, dxk, dq, dV, dglob,
      ddw0, ddb0, ddw1, ddb1, dgw0, dgb0, dgw1, dgb1) = outs
 
-    in_dim = delta_w0.shape[0]
     grads = (
+        # the hi table entries are the pass-through of the kv coordinate
+        # (lo has zero derivative under the cast-is-identity convention),
+        # so lanes 0-2 of the packed-table gradient are the full d_kv_xyz
         dxyzq[:, :Nq, :3],
         dxk[:, :M, :3],
         None if pos_only else dq[:, :Nq],
         None if pos_only else dxk[:, :M, 8 : 8 + D],
         None if pos_only else dV[:, :M],
-        ddw0[0, :in_dim], ddb0[0, 0], ddw1[0], ddb1[0, 0],
+        ddw0[0, :3], ddb0[0, 0], ddw1[0], ddb1[0, 0],
         dgw0[0], dgb0[0, 0], dgw1[0], dgb1[0, 0],
         dglob[:, 0] if has_global else None,
         dglob[:, 1] if has_global else None,

@@ -27,12 +27,59 @@ def shard_map(f, mesh: Mesh, in_specs, out_specs):
     )
 
 
+def _multiprocess_configured() -> bool:
+    """True when the environment configures a launch of MORE THAN ONE
+    process (explicit coordinator, Cloud TPU pod metadata, SLURM, OpenMPI).
+
+    Presence alone is not enough: single-host TPU plugins set e.g.
+    ``TPU_WORKER_HOSTNAMES=localhost``, and SLURM/MPI export their vars
+    for one-node jobs too — each var is checked for a value that actually
+    implies >1 process.
+    """
+    import os
+
+    env = os.environ.get
+    if env("JAX_COORDINATOR_ADDRESS") or env("COORDINATOR_ADDRESS"):
+        return True  # an explicit coordinator is always multi-process intent
+    bounds = env("TPU_PROCESS_BOUNDS")  # e.g. "2,2,1" — product = #processes
+    if bounds:
+        try:
+            n = 1
+            for d in bounds.split(","):
+                n *= int(d)
+            if n > 1:
+                return True
+        except ValueError:
+            return True  # unparseable pod metadata: let init report it
+    if "," in (env("TPU_WORKER_HOSTNAMES") or ""):
+        return True
+    for var in ("SLURM_JOB_NUM_NODES", "OMPI_COMM_WORLD_SIZE"):
+        try:
+            if int(env(var) or 1) > 1:
+                return True
+        except ValueError:
+            pass
+    return False
+
+
 def initialize_distributed(**kwargs) -> None:
-    """Multi-host init (``jax.distributed.initialize``); no-op single-host."""
+    """Multi-host init; no-op when no multi-process launch is configured.
+
+    Calls ``jax.distributed.initialize`` when the environment (or explicit
+    kwargs) configures a multi-process launch.  "Already initialised" is
+    tolerated; any other failure PROPAGATES — silently degrading a pod
+    launch into N independent single-process runs would have every host
+    believe it is process 0 and corrupt the shared experiment directory
+    (concurrent stats.txt / checkpoint writes).
+    """
+    if not (kwargs or _multiprocess_configured()):
+        return
     try:
         jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        pass  # already initialised or single-process
+    except RuntimeError as e:
+        if "already" in str(e).lower():
+            return
+        raise
 
 
 def make_mesh(
@@ -65,8 +112,22 @@ def make_train_mesh(batch_size: int) -> Mesh:
     Prints a prominent warning when the batch size forces fewer chips than
     available (e.g. a prime batch size trains on ONE chip) — silent
     degradation would waste most of the pod.
+
+    Multi-host launches REQUIRE the batch to divide over all devices: a
+    partial-device mesh would take an uneven device subset across hosts,
+    and per-process loader slices (``process_batch_slice``, batch/n_proc
+    contiguous rows each) could no longer match the rows the local
+    devices own — ``globalize_batch`` would fail on the first batch.
+    Fail at mesh construction with an actionable message instead.
     """
     n = len(jax.devices())
+    n_proc = jax.process_count()
+    if n_proc > 1 and batch_size % n:
+        raise ValueError(
+            f"multi-host training ({n_proc} processes, {n} devices) "
+            f"requires batch_size divisible by the device count; got "
+            f"batch_size={batch_size}. Pick a multiple of {n}."
+        )
     data = 1
     for d in range(n, 0, -1):
         if batch_size % d == 0:

@@ -177,11 +177,9 @@ def watertight_mesh_poisson(
     rng = rng or np.random
     verts = np.asarray(verts, np.float64)
     faces = np.asarray(faces, np.int64)
-    face_idx, _ = meshio.sample_faces(verts, faces, n_samples, rng)
-    alpha = rng.dirichlet((1.0,) * 3, n_samples)
-    tris = verts[faces[face_idx]]
-    samples = (alpha[:, :, None] * tris).sum(axis=1)
-    fnormals = meshio.face_normals(verts, faces)[face_idx]
+    samples, fnormals = meshio.sample_oriented_points(
+        verts, faces, n_samples, rng
+    )
     return poisson_reconstruct(
         samples, fnormals, depth=depth, scale=scale,
         point_weight=point_weight,

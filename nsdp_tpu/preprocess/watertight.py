@@ -59,11 +59,9 @@ def mesh_to_signed_distance_grid(
     hi = verts.max(axis=0) + padding
     dims = np.maximum(np.ceil((hi - lo) / spacing).astype(int) + 1, 2)
 
-    face_idx, _ = meshio.sample_faces(verts, faces, n_samples, rng)
-    alpha = rng.dirichlet((1.0,) * 3, n_samples)
-    tris = verts[faces[face_idx]]
-    samples = (alpha[:, :, None] * tris).sum(axis=1)
-    fnormals = meshio.face_normals(verts, faces)[face_idx]
+    samples, fnormals = meshio.sample_oriented_points(
+        verts, faces, n_samples, rng
+    )
 
     xs = lo[0] + spacing * np.arange(dims[0])
     ys = lo[1] + spacing * np.arange(dims[1])

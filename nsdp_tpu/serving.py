@@ -161,7 +161,10 @@ class DeformationService:
         inputs = jnp.asarray(rng.randn(1, n_surface, 7), jnp.float32)
         pmask = jnp.ones((1, n_surface), jnp.float32)
         for b in self.buckets:
-            pts = jnp.asarray(rng.randn(1, b, 3), jnp.float32)
+            # warm at the shape requests actually pad to: _bucket rounds
+            # up to a multiple of the mesh's query axis, so warming the
+            # raw bucket size would compile shapes never served
+            pts = jnp.asarray(rng.randn(1, self._bucket(b), 3), jnp.float32)
             np.asarray(self._predict(pts, inputs))
             if masked:
                 np.asarray(

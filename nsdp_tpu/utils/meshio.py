@@ -308,6 +308,26 @@ def sample_faces(
     return face_idx, bary
 
 
+def sample_oriented_points(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    count: int,
+    rng: Optional[np.random.RandomState] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Uniform surface samples with their face normals.
+
+    Returns (points (count, 3), normals (count, 3)) — the oriented point
+    set both watertighting backends (SDF rasterisation and screened
+    Poisson) reconstruct from.
+    """
+    rng = rng or np.random
+    face_idx, bary = sample_faces(verts, faces, count, rng)
+    tris = verts[faces[face_idx]]
+    points = (bary[:, :, None] * tris).sum(axis=1)
+    normals = face_normals(verts, faces)[face_idx]
+    return points, normals
+
+
 def sample_surface(
     verts: np.ndarray,
     faces: np.ndarray,

@@ -245,3 +245,74 @@ class TestGlobalToken:
                 np.asarray(g), np.asarray(r), rtol=1e-3, atol=1e-4,
                 err_msg=f"grad {i}",
             )
+
+
+class TestCoordSplitTable:
+    """Invariants of the hi/lo coordinate split in the packed gather table.
+
+    On the chip the one-hot gather's DEFAULT-precision MXU pass truncates
+    each operand to bf16-class; the split guarantees the position delta
+    survives that truncation (attention_pallas module docstring).  The
+    truncation itself cannot run under CPU interpret mode, so these tests
+    pin the layout invariants plus a simulated truncating gather.
+    """
+
+    def _table(self, rng, M=64):
+        from nsdp_tpu.ops.attention_pallas import _pack_xk
+
+        coords = jnp.asarray(rng.randn(1, M, 3).astype(np.float32))
+        xyz8, w = _pack_xk(coords, None, M)
+        assert w == 8 and xyz8.shape == (1, M, 8)
+        return np.asarray(coords[0]), np.asarray(xyz8[0])
+
+    def test_hi_bf16_exact_and_split_exact(self, rng):
+        coords, tab = self._table(rng)
+        hi, lo = tab[:, 0:3], tab[:, 3:6]
+        # hi is exactly bf16-representable -> the truncating MXU pass
+        # gathers it without error
+        np.testing.assert_array_equal(
+            hi, hi.astype(jnp.bfloat16.dtype).astype(np.float32)
+        )
+        # the split is exact in f32 (Dekker): hi + lo == coords bitwise
+        np.testing.assert_array_equal(hi + lo, coords)
+        np.testing.assert_array_equal(tab[:, 6:8], 0.0)
+
+    def test_split_survives_bf16_truncating_gather(self, rng):
+        coords, tab = self._table(rng)
+        trunc = tab.astype(jnp.bfloat16.dtype).astype(np.float32)
+        recon = trunc[:, 0:3] + trunc[:, 3:6]
+        plain = coords.astype(jnp.bfloat16.dtype).astype(np.float32)
+        err_split = np.abs(recon - coords).max()
+        err_plain = np.abs(plain - coords).max()
+        # split: ~2^-16 relative; plain storage: ~2^-8 relative
+        assert err_split < 2.0 ** -14 * np.abs(coords).max()
+        assert err_plain > 30 * err_split
+
+    def test_reconstruction_matches_true_delta(self, rng):
+        """dx = (xyzq - hi) + (-lo) reconstructs the true delta (~1 ulp)."""
+        from nsdp_tpu.ops.attention_pallas import _pack_xk
+
+        M = 32
+        coords = jnp.asarray(rng.randn(1, M, 3).astype(np.float32))
+        xyzq = jnp.asarray(rng.randn(1, M, 3).astype(np.float32))
+        tab = np.asarray(_pack_xk(coords, None, M)[0][0])
+        xyzq8 = np.pad(np.asarray(xyzq[0]), ((0, 0), (0, 5)))
+        dxh = xyzq8 - tab                         # [xyzq - hi | -lo | 0 0]
+        dx = (dxh + np.roll(dxh, -3, axis=1))[:, :3]
+        want = np.asarray((xyzq - coords)[0])
+        np.testing.assert_allclose(dx, want, rtol=1e-5, atol=1e-6)
+
+    def test_self_delta_is_exactly_zero(self, rng):
+        """A query gathering ITSELF must reconstruct dx == +0.0 bitwise —
+        at zero-init biases the self-slot relu preactivation sits exactly
+        on the boundary and any residue there flips subgradients (the
+        arbitrary-composition first-step gradient bug this pins)."""
+        from nsdp_tpu.ops.attention_pallas import _pack_xk
+
+        M = 32
+        coords = jnp.asarray(rng.randn(1, M, 3).astype(np.float32))
+        tab = np.asarray(_pack_xk(coords, None, M)[0][0])
+        xyzq8 = np.pad(np.asarray(coords[0]), ((0, 0), (0, 5)))  # self
+        dxh = xyzq8 - tab                         # [lo | -lo | 0 0]
+        dx = (dxh + np.roll(dxh, -3, axis=1))[:, :3]
+        np.testing.assert_array_equal(dx, np.zeros_like(dx))

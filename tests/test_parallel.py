@@ -316,3 +316,39 @@ def test_make_train_mesh_warns_on_degraded_batch():
         warnings.simplefilter("error")
         mesh = make_train_mesh(16)
     assert mesh.shape["data"] == 8
+
+
+def test_multiprocess_detection(monkeypatch):
+    """initialize_distributed must stay a no-op on a single-process box even
+    when single-host TPU plugins export pod-ish vars (the axon plugin sets
+    TPU_WORKER_HOSTNAMES=localhost), and must engage for real multi-process
+    values — a silent no-op on a pod would have every host act as process 0."""
+    from nsdp_tpu.parallel.mesh import _multiprocess_configured
+
+    for v in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+              "TPU_PROCESS_BOUNDS", "TPU_WORKER_HOSTNAMES",
+              "SLURM_JOB_NUM_NODES", "OMPI_COMM_WORLD_SIZE"):
+        monkeypatch.delenv(v, raising=False)
+    assert not _multiprocess_configured()
+
+    # single-process values of each var must NOT trigger
+    single = {"TPU_WORKER_HOSTNAMES": "localhost",
+              "TPU_PROCESS_BOUNDS": "1,1,1",
+              "SLURM_JOB_NUM_NODES": "1",
+              "OMPI_COMM_WORLD_SIZE": "1"}
+    for k, v in single.items():
+        monkeypatch.setenv(k, v)
+    assert not _multiprocess_configured()
+
+    multi = {"JAX_COORDINATOR_ADDRESS": "10.0.0.1:1234",
+             "COORDINATOR_ADDRESS": "10.0.0.1:1234",
+             "TPU_PROCESS_BOUNDS": "2,2,1",
+             "TPU_WORKER_HOSTNAMES": "host0,host1",
+             "SLURM_JOB_NUM_NODES": "2",
+             "OMPI_COMM_WORLD_SIZE": "4"}
+    for k, v in multi.items():
+        monkeypatch.setenv(k, v)
+        assert _multiprocess_configured(), k
+        monkeypatch.delenv(k)
+        for kk, vv in single.items():
+            monkeypatch.setenv(kk, vv)

@@ -192,3 +192,26 @@ def test_edit_session_requires_arbitrary():
     with pytest.raises(ValueError, match="arbitrary"):
         svc.edit_session(np.zeros((4, 3), np.float32),
                          np.zeros((8, 3), np.float32))
+
+
+def test_warmup_compiles_the_shapes_requests_pad_to(rng):
+    """Warmup must compile at the rounded bucket sizes (_bucket rounds to a
+    multiple of the mesh's query axis), not the raw bucket sizes: a bucket
+    that is not a multiple of the query axis would otherwise warm a shape
+    no request ever uses (or crash inside shard_map) and the first real
+    request would pay the trace+compile warmup exists to avoid."""
+    from nsdp_tpu.parallel import make_mesh
+
+    mesh = make_mesh(data=1, query=8)
+    svc = DeformationService(
+        _tiny_arbitrary_cfg(), buckets=(100,), use_fused=True,
+        interpret=True, mesh=mesh,
+    )
+    assert svc._bucket(100) == 104  # rounded up to a multiple of query=8
+    n = 32
+    svc.warmup(n, masked=False, sessions=False)
+    sizes = [svc._predict._cache_size()]
+    assert all(s > 0 for s in sizes)
+    pts, surf, tgt, mask = _session_inputs(rng, n=n, q=60)
+    svc.deform(pts, np.concatenate([surf, tgt, mask], -1))
+    assert [svc._predict._cache_size()] == sizes
