@@ -35,6 +35,7 @@ Prints ONE JSON line:
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -147,8 +148,85 @@ def measure_drag_ms(Q=65536, N=5000, K=20):
     return max((t2 - t1) / K, 1e-9) * 1e3
 
 
-def main():
+def _metric_fns():
     from scripts.bench_train import bench_combo
+
+    return {
+        "qps": measure_qps,
+        "train_step_ms_stage1_b16":
+            lambda: bench_combo("bfloat16", True, 16, 8) * 1e3,
+        "train_step_ms_stage1_bwd_b16":
+            lambda: bench_combo("bfloat16", True, 16, 8,
+                                model_type="backward") * 1e3,
+        "train_step_ms_stage2_b8":
+            lambda: bench_combo("bfloat16", True, 8, 8,
+                                model_type="arbitrary") * 1e3,
+        "drag_ms": measure_drag_ms,
+    }
+
+
+def _run_one_metric(name):
+    """Child-process mode: measure one metric, print one JSON line."""
+    value = _retry(_metric_fns()[name])
+    print(json.dumps({"metric": name, "value": float(value)}))
+
+
+def _measure_in_subprocess(name, attempts, sleep, timeout):
+    """Run one metric in a FRESH process per attempt.
+
+    JAX caches a failed backend initialisation for the life of the
+    process, so when the TPU tunnel drops at init time an in-process
+    retry can never recover — only a new process gets a new backend.
+    A fresh process also bounds one hung measurement to ``timeout``
+    instead of eating the driver's whole budget.
+    """
+    import subprocess
+    import sys
+
+    last = None
+    for i in range(attempts):
+        if i:
+            time.sleep(sleep)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--metric", name],
+                capture_output=True, text=True, timeout=timeout,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+        except subprocess.TimeoutExpired as e:
+            last = f"timeout after {timeout}s"
+            print(f"bench: {name} attempt {i + 1}: {last}",
+                  file=sys.stderr)
+            continue
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                obj = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if obj.get("metric") == name:
+                return obj["value"]
+        last = (proc.stderr or proc.stdout or "").strip()[-500:]
+        print(f"bench: {name} attempt {i + 1} failed: {last}",
+              file=sys.stderr)
+    raise RuntimeError(f"bench metric {name} failed: {last}")
+
+
+def main(argv=None):
+    import argparse
+    import sys
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--metric", choices=sorted(_metric_fns()),
+                    help="child mode: measure one metric and exit")
+    args = ap.parse_args(argv)
+    if args.metric:
+        _run_one_metric(args.metric)
+        return
+
+    attempts = int(os.environ.get("NSDP_BENCH_ATTEMPTS", "3"))
+    sleep = int(os.environ.get("NSDP_BENCH_RETRY_SLEEP", "60"))
+    timeout = int(os.environ.get("NSDP_BENCH_METRIC_TIMEOUT", "1800"))
 
     result = {
         "metric": "deformation_field_query_throughput",
@@ -160,7 +238,7 @@ def main():
         "train_step_ms_stage2_b8": None,
         "drag_ms": None,
     }
-    qps = _retry(measure_qps)
+    qps = _measure_in_subprocess("qps", attempts, sleep, timeout)
     result["value"] = round(qps, 1)
     result["vs_baseline"] = round(qps / 1e6, 4)
 
@@ -168,31 +246,18 @@ def main():
     # but each failure is isolated (one broken path must not mask the
     # rest) and logged to stderr (a null in BENCH_r*.json should be
     # diagnosable as code vs tunnel).
-    def _secondary(key, fn, digits):
-        import sys
-
+    for key, digits in (
+        ("train_step_ms_stage1_b16", 1),
+        ("train_step_ms_stage1_bwd_b16", 1),
+        ("train_step_ms_stage2_b8", 1),
+        ("drag_ms", 2),
+    ):
         try:
-            result[key] = round(_retry(fn), digits)
+            result[key] = round(
+                _measure_in_subprocess(key, attempts, sleep, timeout), digits
+            )
         except Exception as e:
             print(f"bench: {key} failed: {e!r}", file=sys.stderr)
-
-    _secondary(
-        "train_step_ms_stage1_b16",
-        lambda: bench_combo("bfloat16", True, 16, 8) * 1e3, 1,
-    )
-    _secondary(
-        "train_step_ms_stage1_bwd_b16",
-        lambda: bench_combo("bfloat16", True, 16, 8, model_type="backward")
-        * 1e3,
-        1,
-    )
-    _secondary(
-        "train_step_ms_stage2_b8",
-        lambda: bench_combo("bfloat16", True, 8, 8, model_type="arbitrary")
-        * 1e3,
-        1,
-    )
-    _secondary("drag_ms", measure_drag_ms, 2)
     print(json.dumps(result))
 
 

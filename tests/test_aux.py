@@ -144,3 +144,47 @@ def test_arrow_flow_visualisations(tmp_path):
     p = str(tmp_path / "arrows.ply")
     save_mesh(p, verts, faces, colors)
     assert (tmp_path / "arrows.ply").stat().st_size > 0
+
+
+def test_bench_subprocess_orchestration(monkeypatch, capsys):
+    """bench.main must survive per-metric child failures: JAX caches a
+    failed backend init for the life of a process, so each metric runs in
+    a fresh subprocess and a failing secondary must not sink the headline
+    (the driver's BENCH_r*.json is written from this one JSON line)."""
+    import subprocess
+    import json as _json
+    import bench
+
+    calls = []
+
+    class FakeProc:
+        def __init__(self, out, err=""):
+            self.stdout, self.stderr = out, err
+
+    def fake_run(cmd, **kw):
+        name = cmd[cmd.index("--metric") + 1]
+        calls.append(name)
+        if name == "qps":
+            # first attempt dies at backend init, second succeeds — the
+            # retry must happen in a NEW subprocess invocation
+            if calls.count("qps") == 1:
+                return FakeProc("", "RuntimeError: Unable to initialize "
+                                    "backend 'axon'")
+            return FakeProc(
+                "WARNING: noise\n"
+                + _json.dumps({"metric": "qps", "value": 8.36e6}) + "\n")
+        if name == "drag_ms":
+            raise subprocess.TimeoutExpired(cmd, 1)  # hung tunnel
+        return FakeProc(_json.dumps({"metric": name, "value": 83.0}) + "\n")
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setenv("NSDP_BENCH_ATTEMPTS", "2")
+    monkeypatch.setenv("NSDP_BENCH_RETRY_SLEEP", "0")
+    bench.main([])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    got = _json.loads(out)
+    assert got["value"] == 8.36e6 and got["vs_baseline"] == 8.36
+    assert got["train_step_ms_stage1_b16"] == 83.0
+    assert got["train_step_ms_stage2_b8"] == 83.0
+    assert got["drag_ms"] is None  # timed out twice, isolated
+    assert calls.count("qps") == 2 and calls.count("drag_ms") == 2
