@@ -41,16 +41,29 @@ import time
 import numpy as np
 
 
-def _retry(fn, attempts=3, sleep=20):
-    """The tunnel to the chip is occasionally flaky; retry measurements."""
-    last_err = None
-    for _ in range(attempts):
-        try:
-            return fn()
-        except Exception as e:  # transient transport error
-            last_err = e
-            time.sleep(sleep)
-    raise last_err
+def slope_time(run, K, n_rep=5):
+    """Per-call seconds from the slope of the on-device chain protocol.
+
+    ``run(k)`` must execute a k-iteration DEPENDENT on-device chain and
+    block on a scalar fetch (the only reliable sync through the tunnel —
+    module docstring).  The slope between the 1- and (1+K)-iteration chains
+    cancels the fixed tunnel cost; each chain length is timed ``n_rep``
+    times and the median taken.  Every metric in this repo (bench.py,
+    scripts/bench_train.py, scripts/bench_kernels.py) measures through this
+    one helper so a protocol change cannot skew metrics apart.
+    """
+    def sync(k):
+        run(k)  # compile + warm
+        ts = []
+        for _ in range(n_rep):
+            t0 = time.perf_counter()
+            run(k)
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    t1 = sync(1)
+    t2 = sync(1 + K)
+    return max((t2 - t1) / K, 1e-9)
 
 
 def measure_qps(Q=65536, N=5000, K=20):
@@ -85,18 +98,7 @@ def measure_qps(Q=65536, N=5000, K=20):
             return predict(x, inputs)
         return jnp.sum(jax.lax.fori_loop(0, k, body, space_src))
 
-    def sync_time(k, n=7):
-        float(chain(space, k))  # warm / compile
-        ts = []
-        for _ in range(n):
-            t0 = time.perf_counter()
-            float(chain(space, k))
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
-
-    t1 = sync_time(1)
-    t2 = sync_time(1 + K)
-    per_call = max((t2 - t1) / K, 1e-9)
+    per_call = slope_time(lambda k: float(chain(space, k)), K, n_rep=7)
     return Q / per_call
 
 
@@ -134,18 +136,9 @@ def measure_drag_ms(Q=65536, N=5000, K=20):
             return deform(x, surf_cano, surf_tgt, mask)
         return jnp.sum(jax.lax.fori_loop(0, k, body, x))
 
-    def sync_time(k, n=7):
-        float(chain(space_cano, k))
-        ts = []
-        for _ in range(n):
-            t0 = time.perf_counter()
-            float(chain(space_cano, k))
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
-
-    t1 = sync_time(1)
-    t2 = sync_time(1 + K)
-    return max((t2 - t1) / K, 1e-9) * 1e3
+    return slope_time(
+        lambda k: float(chain(space_cano, k)), K, n_rep=7
+    ) * 1e3
 
 
 def _metric_fns():
@@ -166,8 +159,13 @@ def _metric_fns():
 
 
 def _run_one_metric(name):
-    """Child-process mode: measure one metric, print one JSON line."""
-    value = _retry(_metric_fns()[name])
+    """Child-process mode: measure one metric, print one JSON line.
+
+    No in-process retry here: a failed JAX backend init is cached for the
+    life of the process, so retrying inside the child is futile — the
+    parent's per-attempt fresh subprocess IS the retry.
+    """
+    value = _metric_fns()[name]()
     print(json.dumps({"metric": name, "value": float(value)}))
 
 

@@ -45,12 +45,15 @@ as a Dekker hi/lo split IN F32 LANES (``_pack_xk``): ``hi`` is
 bf16-exact so the truncating pass gathers it exactly, ``lo`` carries
 the next 8 bits, and the kernel reconstructs
 ``dx = (xyzq - hi) + (-lo)`` with one 8-lane roll+add+mask per slot —
-accurate to ~2^-16 relative on the MXU, bit-exact in interpreter mode,
-and EXACTLY zero for a self-attention query gathering itself (the
-reconstruction order matters for that last property; see the kernel
-comment).  No mixed-dtype table, so none of the convert/relayout cost
-of the rejected bf16-table variant.  Full experiment table in
-docs/PERFORMANCE.md.
+accurate to ~2^-16 relative on the MXU, bit-exact in interpreter mode
+where the self-attention delta of a query gathering itself cancels to
+EXACTLY zero (the reconstruction order matters for that property; see
+the kernel comment.  On the MXU the gathered ``lo`` is itself
+bf16-truncated, so the hardware self-residue is ~2^-25 of the
+coordinate rather than exactly 0 — 65000x smaller than the ~2^-9
+residue of plainly-stored coords).  No mixed-dtype table, so none of
+the convert/relayout cost of the rejected bf16-table variant.  Full
+experiment table in docs/PERFORMANCE.md.
 """
 
 from functools import partial
@@ -162,12 +165,17 @@ def _attn_kernel(
         # holds the hi/lo split (_pack_xk), reconstructed here as
         # dx = (xyzq - hi) + (-lo) — NOT xyzq - (hi + lo): for a
         # self-attention query gathering itself, (xyzq - hi) == lo
-        # bitwise, so dx cancels to EXACTLY zero like the XLA path's
-        # xyz - xyz.  That exactness matters: at zero-init biases the
-        # self-slot's relu preactivation sits exactly on the boundary,
-        # and ±1-ulp noise there flips subgradients — measured as O(1)
-        # systematic fc_delta bias-gradient error on the first train
-        # step of the arbitrary composition.
+        # bitwise, so wherever the gather returns lo exactly (interpreter
+        # mode, where every parity/training test runs) dx cancels to
+        # EXACTLY zero like the XLA path's xyz - xyz.  That exactness
+        # matters: at zero-init biases the self-slot's relu preactivation
+        # sits exactly on the boundary, and ±1-ulp noise there flips
+        # subgradients — measured as O(1) systematic fc_delta
+        # bias-gradient error on the first train step of the arbitrary
+        # composition.  (On the MXU the gathered lo is itself
+        # bf16-truncated, so the hardware self-residue is ~2^-25 of the
+        # coordinate — not exactly 0, but 65000x smaller than the ~2^-9
+        # residue plainly-stored coords had.)
         gath = jnp.dot(onehot, xk, precision=_DOT_PREC, preferred_element_type=_F32)  # (T, 8|W)
         dxh = xyzq - gath[:, :8]  # [xyzq - hi | -lo | 0 0]
         lane8 = jax.lax.broadcasted_iota(jnp.int32, (T, 8), 1)

@@ -299,7 +299,6 @@ def test_on_batch(
     compute_loss: bool = True,
     fast_predict=None,
     bucket: int = 4096,
-    fast_predict_masked=None,
 ):
     """Reference ``test_on_batch_*`` semantics: predict deformed surface
     samples and deformed full-resolution vertices, stash them in the batch
@@ -312,13 +311,10 @@ def test_on_batch(
 
     Variable-size vertex queries are bucket-padded (exact: padded queries
     are sliced off, see ``utils/padding.py``).  When ``fast_predict`` (the
-    fused Pallas path from ``models.fast_predict``) is given, both
-    evaluations route through it; padded partial-shape batches (a
-    ``surface_valid_mask``) route through ``fast_predict_masked`` (the
-    ``with_mask=True`` fused predict — the single-device fused predict
-    accepts the optional mask directly, so callers may pass the same
-    callable for both) and fall back to the flax predict only when no
-    masked fused path was provided.
+    fused Pallas path from ``models.fast_predict``, built without a mesh so
+    the mask argument is optional) is given, both evaluations route through
+    it — padded partial-shape batches (a ``surface_valid_mask``) pass the
+    mask as the third argument.
     """
     import numpy as np
 
@@ -327,19 +323,12 @@ def test_on_batch(
     inputs = batch["surface_samples_inputs"]
     surf_src = inputs[:, :, 0:3]
     point_mask = batch.get("surface_valid_mask")
-    if point_mask is None and fast_predict is not None:
+    if fast_predict is not None:
         predictor = fast_predict
-        batch["surface_samples_tgt_pred"] = np.asarray(
-            fast_predict(jnp.asarray(surf_src), jnp.asarray(inputs))
-        )
-    elif point_mask is not None and fast_predict_masked is not None:
-        predictor = fast_predict_masked
-        batch["surface_samples_tgt_pred"] = np.asarray(
-            fast_predict_masked(
-                jnp.asarray(surf_src), jnp.asarray(inputs),
-                jnp.asarray(point_mask),
-            )
-        )
+        args = (jnp.asarray(surf_src), jnp.asarray(inputs))
+        if point_mask is not None:
+            args += (jnp.asarray(point_mask),)
+        batch["surface_samples_tgt_pred"] = np.asarray(fast_predict(*args))
     else:
         predictor = steps
         batch["surface_samples_tgt_pred"] = np.asarray(

@@ -125,11 +125,9 @@ def main(argv):
     logger = StatsLogger.instance()
     print("====> Interactive Editing ====>")
     for b, batch in enumerate(test_loader):
-        # the single-device fused predict accepts the optional point_mask
-        # directly, so it serves the masked (padded-partial) route too
         _, batch = test_on_batch(
             steps, state, batch, compute_loss=False,
-            fast_predict=fast_predict, fast_predict_masked=fast_predict,
+            fast_predict=fast_predict,
         )
         logger.print_progress(-1, b + 1, 0.0)
 

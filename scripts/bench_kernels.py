@@ -11,27 +11,16 @@ Usage:
 import argparse
 import os
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def _sync_time(fn, k, n=5):
-    ts = []
-    float(fn(k))  # warm / compile
-    for _ in range(n):
-        t0 = time.perf_counter()
-        float(fn(k))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
-
-
 def _slope(fn, K=32):
-    t1 = _sync_time(fn, 1)
-    t2 = _sync_time(fn, 1 + K)
-    return max((t2 - t1) / K, 1e-9)
+    from bench import slope_time
+
+    return slope_time(lambda k: float(fn(k)), K)
 
 
 def bench_attention(shape_name, B, Q, M, D, k, pos_only=False,

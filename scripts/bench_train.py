@@ -19,7 +19,6 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import numpy as np
 
 
 def bench_combo(dtype_key, fused, batch_size, K, n_rep=5,
@@ -65,18 +64,9 @@ def bench_combo(dtype_key, fused, batch_size, K, n_rep=5,
 
     chain_j = jax.jit(chain, static_argnums=1)
 
-    def sync_time(k):
-        float(chain_j(state, k))  # compile + warm
-        ts = []
-        for _ in range(n_rep):
-            t0 = time.perf_counter()
-            float(chain_j(state, k))
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
+    from bench import slope_time
 
-    t1 = sync_time(1)
-    t2 = sync_time(1 + K)
-    return (t2 - t1) / K
+    return slope_time(lambda k: float(chain_j(state, k)), K, n_rep=n_rep)
 
 
 def main(argv=None):

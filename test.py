@@ -130,11 +130,9 @@ def main(argv):
 
     print("====> Inference / Test ====>")
     for b, batch in enumerate(test_loader):
-        # the single-device fused predict accepts the optional point_mask
-        # directly, so it serves the masked (padded-partial) route too
         loss, batch = test_on_batch(
             steps, state, batch, compute_loss=True,
-            fast_predict=fast_predict, fast_predict_masked=fast_predict,
+            fast_predict=fast_predict,
         )
 
         eval_dict = compute_evaluation_metrics(batch)

@@ -303,10 +303,14 @@ class TestCoordSplitTable:
         np.testing.assert_allclose(dx, want, rtol=1e-5, atol=1e-6)
 
     def test_self_delta_is_exactly_zero(self, rng):
-        """A query gathering ITSELF must reconstruct dx == +0.0 bitwise —
-        at zero-init biases the self-slot relu preactivation sits exactly
-        on the boundary and any residue there flips subgradients (the
-        arbitrary-composition first-step gradient bug this pins)."""
+        """A query gathering ITSELF must reconstruct dx == +0.0 bitwise
+        under an exact gather (interpreter mode, where every
+        parity/training test runs) — at zero-init biases the self-slot
+        relu preactivation sits exactly on the boundary and any residue
+        there flips subgradients (the arbitrary-composition first-step
+        gradient bug this pins).  On the MXU the gathered lo is itself
+        bf16-truncated, leaving a ~2^-25-of-coordinate residue instead;
+        see the kernel comment."""
         from nsdp_tpu.ops.attention_pallas import _pack_xk
 
         M = 32
