@@ -1,0 +1,167 @@
+"""REAL 2-process multi-host training tests (gloo CPU collectives).
+
+Round-2 VERDICT item 4 wired multi-host into ``train.py`` but could only
+prove it degenerate (single-process).  These tests launch TWO actual
+``jax.distributed`` processes — 4 virtual CPU devices each, gloo
+cross-process collectives standing in for DCN (SURVEY.md §2.9) — and
+check:
+
+* the shard_map fused train step fed through the real multi-host input
+  path (``process_batch_slice`` + ``globalize_batch``) produces the SAME
+  loss trajectory and parameters as this (single-process, 8-device)
+  session running the identical computation, and
+* the real ``train.main`` CLI completes a 2-process run end-to-end —
+  per-process loader slices, globalized batches, padded+sliced
+  validation — with checkpoint/stats writes guarded to process 0.
+
+Subprocess entry point: ``tests/multihost_runner.py``.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _launch_pair(phase, extra_args, timeout=1800):
+    """Run two runner processes (4 CPU devices each) to completion."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("PYTHONPATH", None)  # breaks plugin registration (CLAUDE.md)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "tests.multihost_runner",
+             phase, str(pid), str(port)] + [str(a) for a in extra_args],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for pid, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+        assert p.returncode == 0, (
+            f"process {pid} failed (rc={p.returncode}):\n{out[-4000:]}"
+        )
+    return outs
+
+
+def _single_process_reference():
+    """The same 3-step computation the runners perform, on this session's
+    8 virtual devices (single process); ``globalize_batch`` degenerates to
+    a plain shard when process_count()==1."""
+    import jax
+    import jax.numpy as jnp
+
+    from nsdp_tpu.models import build_model
+    from nsdp_tpu.parallel import globalize_batch, make_mesh, replicate
+    from nsdp_tpu.training import (
+        create_train_state, make_steps, optimizer_factory,
+    )
+    from tests.test_parallel import TINY, _batch
+
+    cfg = {"model": dict(TINY["model"], fused_attention=True)}
+    model = build_model(cfg)
+    _, tx = optimizer_factory({"optimizer": "SGD", "lr": 1e-3, "momentum": 0.9})
+    batch = _batch(B=8)
+    inputs = jnp.asarray(batch["surface_samples_inputs"])
+    example = (
+        jnp.asarray(batch["space_samples_src"]),
+        inputs[..., 0:3], inputs[..., 3:6], inputs[..., 6:7],
+    )
+    state = create_train_state(model, jax.random.PRNGKey(0), example, tx)
+    mesh = make_mesh(data=8, query=1)
+    steps = make_steps(model, "arbitrary", tx, mesh=mesh)
+    state = replicate(state, mesh)
+    losses = []
+    for _ in range(3):
+        gbatch = globalize_batch(batch, mesh)
+        state, loss = steps["train_step"](state, gbatch, 1e-3)
+        losses.append(float(loss))
+    return losses, state
+
+
+def test_two_process_step_matches_single_process(tmp_path):
+    """2-process fused shard_map training == single-process: exactly the
+    invariant a pod launch of the shipped configs relies on."""
+    from tests.multihost_runner import _checksums
+
+    _launch_pair("step", [tmp_path])
+    results = []
+    for pid in (0, 1):
+        with open(tmp_path / f"step_{pid}.json") as f:
+            results.append(json.load(f))
+
+    assert results[0]["is_main"] and not results[1]["is_main"]
+    # both processes observe the identical (replicated) loss trajectory
+    assert results[0]["losses"] == results[1]["losses"]
+    assert results[0]["params"] == results[1]["params"]
+
+    ref_losses, ref_state = _single_process_reference()
+    np.testing.assert_allclose(
+        results[0]["losses"], ref_losses, rtol=1e-5
+    )
+    for got, want in zip(results[0]["params"], _checksums(ref_state.params)):
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+    for got, want in zip(
+        results[0]["batch_stats"], _checksums(ref_state.batch_stats)
+    ):
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_two_process_train_cli(tmp_path):
+    """The real ``train.py`` runs 2-process end-to-end on the synthetic
+    fixture: sliced loaders, globalized train batches, padded+sliced
+    validation batches, process-0-only writes."""
+    from nsdp_tpu.data.synthetic import generate_synthetic_dataset, synthetic_config
+
+    fixture = generate_synthetic_dataset(
+        str(tmp_path / "synth"), n_identities=2, n_motions_per_identity=2,
+        n_frames=4, n_surface=200, n_space=200,
+    )
+    cfg = synthetic_config(fixture, n_surface=64, n_space=64)
+    cfg["experiment"]["out_dir"] = str(tmp_path / "out")
+    cfg["training"]["batch_size"] = 8  # multi-host requires batch % devices == 0
+    cfg["training"]["epochs"] = 2
+    cfg["validation"]["frequency"] = 1  # epoch 1 runs the padded+sliced val path
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    outs = _launch_pair("cli", [cfg_path])
+    for out in outs:
+        assert "(2 process(es))" in out, out[-2000:]
+
+    exp_dir = os.path.join(cfg["experiment"]["out_dir"], "synthetic")
+    files = os.listdir(exp_dir)
+    assert "params.json" in files
+    assert "stats.txt" in files
+    assert any(f.startswith("model_") for f in files)
+    assert any(f.startswith("modelbest_") for f in files)
+    # stats were written by exactly one process: every (epoch, batch) line
+    # ("epoch: E - batch: B - loss: ...") appears once
+    with open(os.path.join(exp_dir, "stats.txt")) as f:
+        stats = [l.split() for l in f.read().splitlines() if l.strip()]
+    assert stats, "stats.txt is empty"
+    keys = [(l[1], l[4]) for l in stats]
+    assert len(keys) == len(set(keys)), stats
