@@ -28,10 +28,22 @@ is iterated K times *on device* in a dependent ``lax.fori_loop`` chain and
 synchronised once by a scalar fetch; per-call time is the slope between a
 1-iteration and a (1+K)-iteration chain, which cancels the fixed cost.
 
+Self-diagnosis (VERDICT r3 item 3): every metric is measured
+``NSDP_BENCH_REPEATS`` (default 3) independent times inside its child
+process; the JSON carries the median as the value plus a ``*_spread``
+field — (max − min) / median over the repeats — so a cross-round move can
+be read against the same-run noise floor at a glance.  The headline also
+carries ``mfu``: analytic model FLOPs of one evaluation (XLA cost
+analysis of the flax path at the same shapes — model flops, so the fused
+kernels' one-hot gather passes count as overhead, not work) divided by
+the measured time and the 197 TF/s v5e bf16 peak.
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
-   "train_step_ms_stage1_b16": N, "train_step_ms_stage1_bwd_b16": N,
-   "train_step_ms_stage2_b8": N, "drag_ms": N}
+   "spread": N, "mfu": N,
+   "train_step_ms_stage1_b16": N, "train_step_ms_stage1_b16_spread": N,
+   "train_step_ms_stage1_bwd_b16": N, ...,
+   "train_step_ms_stage2_b8": N, ..., "drag_ms": N, "drag_ms_spread": N}
 """
 
 import json
@@ -66,7 +78,12 @@ def slope_time(run, K, n_rep=5):
     return max((t2 - t1) / K, 1e-9)
 
 
-def measure_qps(Q=65536, N=5000, K=20):
+QPS_Q = 65536            # query points per headline evaluation
+PEAK_FLOPS = 197e12      # v5e bf16 peak (186 TF/s matmul anchor calibrates it)
+
+
+def qps_measure(Q=QPS_Q, N=5000, K=20):
+    """Build the headline-qps harness once; returns a repeatable closure."""
     import jax
     import jax.numpy as jnp
 
@@ -98,11 +115,52 @@ def measure_qps(Q=65536, N=5000, K=20):
             return predict(x, inputs)
         return jnp.sum(jax.lax.fori_loop(0, k, body, space_src))
 
-    per_call = slope_time(lambda k: float(chain(space, k)), K, n_rep=7)
-    return Q / per_call
+    def measure():
+        return Q / slope_time(lambda k: float(chain(space, k)), K, n_rep=7)
+
+    return measure
 
 
-def measure_drag_ms(Q=65536, N=5000, K=20):
+def analytic_flops_per_eval(Q=QPS_Q, N=5000):
+    """Model FLOPs of ONE headline evaluation, by XLA cost analysis.
+
+    Lowered (not executed) from the flax path at the benchmark shapes —
+    abstract ShapeDtypeStructs only, so this never touches the device.
+    Using the flax path defines *model* flops: the fused kernels' one-hot
+    gather MXU passes are overhead against this number, which is what an
+    MFU figure should charge them as.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import FLAGSHIP_CONFIG
+    from nsdp_tpu.models import build_model
+
+    model = build_model(FLAGSHIP_CONFIG)
+    f32 = jnp.float32
+    space = jax.ShapeDtypeStruct((1, Q, 3), f32)
+    surf = jax.ShapeDtypeStruct((1, N, 3), f32)
+    mask = jax.ShapeDtypeStruct((1, N, 1), f32)
+    variables = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 128, 3)), jnp.zeros((1, N, 3)),
+            jnp.zeros((1, N, 3)), jnp.zeros((1, N, 1)),
+            train=False,
+        )
+    )
+
+    def fn(v, sp, s1, s2, m):
+        return model.apply(v, sp, s1, s2, m, train=False)
+
+    lowered = jax.jit(fn).lower(variables, space, surf, surf, mask)
+    ca = lowered.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    return float(ca["flops"])
+
+
+def drag_measure(Q=QPS_Q, N=5000, K=20):
     """One edit-session drag: the forward (deform) half only, chained."""
     import jax
     import jax.numpy as jnp
@@ -136,37 +194,65 @@ def measure_drag_ms(Q=65536, N=5000, K=20):
             return deform(x, surf_cano, surf_tgt, mask)
         return jnp.sum(jax.lax.fori_loop(0, k, body, x))
 
-    return slope_time(
-        lambda k: float(chain(space_cano, k)), K, n_rep=7
-    ) * 1e3
+    def measure():
+        return slope_time(
+            lambda k: float(chain(space_cano, k)), K, n_rep=7
+        ) * 1e3
+
+    return measure
 
 
 def _metric_fns():
-    from scripts.bench_train import bench_combo
+    """name -> setup() -> measure() (setup compiles once; measure repeats)."""
+    from scripts.bench_train import combo_measure
+
+    def scaled(setup, s):
+        def wrap():
+            measure = setup()
+            return lambda: measure() * s
+        return wrap
 
     return {
-        "qps": measure_qps,
+        "qps": qps_measure,
         "train_step_ms_stage1_b16":
-            lambda: bench_combo("bfloat16", True, 16, 8) * 1e3,
+            scaled(lambda: combo_measure("bfloat16", True, 16, 8), 1e3),
         "train_step_ms_stage1_bwd_b16":
-            lambda: bench_combo("bfloat16", True, 16, 8,
-                                model_type="backward") * 1e3,
+            scaled(lambda: combo_measure("bfloat16", True, 16, 8,
+                                         model_type="backward"), 1e3),
         "train_step_ms_stage2_b8":
-            lambda: bench_combo("bfloat16", True, 8, 8,
-                                model_type="arbitrary") * 1e3,
-        "drag_ms": measure_drag_ms,
+            scaled(lambda: combo_measure("bfloat16", True, 8, 8,
+                                         model_type="arbitrary"), 1e3),
+        "drag_ms": drag_measure,
     }
 
 
 def _run_one_metric(name):
-    """Child-process mode: measure one metric, print one JSON line.
+    """Child-process mode: measure one metric, print one JSON line with
+    median-of-N and a spread field ((max − min) / median over the repeats,
+    same compiled harness — the same-run noise floor).
 
     No in-process retry here: a failed JAX backend init is cached for the
     life of the process, so retrying inside the child is futile — the
     parent's per-attempt fresh subprocess IS the retry.
     """
-    value = _metric_fns()[name]()
-    print(json.dumps({"metric": name, "value": float(value)}))
+    import sys
+
+    repeats = max(int(os.environ.get("NSDP_BENCH_REPEATS", "3")), 1)
+    measure = _metric_fns()[name]()
+    values = [float(measure()) for _ in range(repeats)]
+    med = float(np.median(values))
+    obj = {
+        "metric": name,
+        "value": med,
+        "spread": (max(values) - min(values)) / med if med else None,
+        "values": values,
+    }
+    if name == "qps":
+        try:
+            obj["flops_per_eval"] = analytic_flops_per_eval()
+        except Exception as e:
+            print(f"bench: cost analysis failed: {e!r}", file=sys.stderr)
+    print(json.dumps(obj))
 
 
 def _measure_in_subprocess(name, attempts, sleep, timeout):
@@ -203,7 +289,7 @@ def _measure_in_subprocess(name, attempts, sleep, timeout):
             except json.JSONDecodeError:
                 continue
             if obj.get("metric") == name:
-                return obj["value"]
+                return obj
         last = (proc.stderr or proc.stdout or "").strip()[-500:]
         print(f"bench: {name} attempt {i + 1} failed: {last}",
               file=sys.stderr)
@@ -231,14 +317,28 @@ def main(argv=None):
         "value": None,
         "unit": "query_points/sec/chip",
         "vs_baseline": None,
+        "spread": None,
+        "mfu": None,
         "train_step_ms_stage1_b16": None,
+        "train_step_ms_stage1_b16_spread": None,
         "train_step_ms_stage1_bwd_b16": None,
+        "train_step_ms_stage1_bwd_b16_spread": None,
         "train_step_ms_stage2_b8": None,
+        "train_step_ms_stage2_b8_spread": None,
         "drag_ms": None,
+        "drag_ms_spread": None,
     }
-    qps = _measure_in_subprocess("qps", attempts, sleep, timeout)
+    qobj = _measure_in_subprocess("qps", attempts, sleep, timeout)
+    qps = qobj["value"]
     result["value"] = round(qps, 1)
     result["vs_baseline"] = round(qps / 1e6, 4)
+    if qobj.get("spread") is not None:
+        result["spread"] = round(qobj["spread"], 4)
+    if qobj.get("flops_per_eval"):
+        # mfu = flops/eval ÷ time/eval ÷ peak = flops/eval × qps / (Q × peak)
+        result["mfu"] = round(
+            qobj["flops_per_eval"] * qps / (QPS_Q * PEAK_FLOPS), 4
+        )
 
     # Secondary metrics must not sink the headline on a flaky tunnel day,
     # but each failure is isolated (one broken path must not mask the
@@ -251,9 +351,10 @@ def main(argv=None):
         ("drag_ms", 2),
     ):
         try:
-            result[key] = round(
-                _measure_in_subprocess(key, attempts, sleep, timeout), digits
-            )
+            obj = _measure_in_subprocess(key, attempts, sleep, timeout)
+            result[key] = round(obj["value"], digits)
+            if obj.get("spread") is not None:
+                result[key + "_spread"] = round(obj["spread"], 4)
         except Exception as e:
             print(f"bench: {key} failed: {e!r}", file=sys.stderr)
     print(json.dumps(result))

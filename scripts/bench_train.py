@@ -21,8 +21,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 
-def bench_combo(dtype_key, fused, batch_size, K, n_rep=5,
-                model_type="forward"):
+def combo_measure(dtype_key, fused, batch_size, K, n_rep=5,
+                  model_type="forward"):
+    """Build the train-step chain once; returns a repeatable measure()
+    closure (seconds/step) so bench.py's repeats reuse the compile."""
     import jax
     import jax.numpy as jnp
 
@@ -66,7 +68,15 @@ def bench_combo(dtype_key, fused, batch_size, K, n_rep=5,
 
     from bench import slope_time
 
-    return slope_time(lambda k: float(chain_j(state, k)), K, n_rep=n_rep)
+    def measure():
+        return slope_time(lambda k: float(chain_j(state, k)), K, n_rep=n_rep)
+
+    return measure
+
+
+def bench_combo(dtype_key, fused, batch_size, K, n_rep=5,
+                model_type="forward"):
+    return combo_measure(dtype_key, fused, batch_size, K, n_rep, model_type)()
 
 
 def main(argv=None):
