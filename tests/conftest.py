@@ -28,6 +28,17 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy tests (interpret-mode fused training, torch "
+        "trajectory parity, flagship-scale rehearsals, multi-process "
+        "launches) excluded from the smoke tier — run the smoke tier "
+        "with `pytest -m 'not slow'` (<5 min on the 1-core box), the "
+        "full suite plain.",
+    )
+
+
 @pytest.fixture(autouse=True)
 def _pin_matmul_precision():
     """The CLIs set ``jax_default_matmul_precision`` from their own flag

@@ -320,3 +320,13 @@ class TestCoordSplitTable:
         dxh = xyzq8 - tab                         # [lo | -lo | 0 0]
         dx = (dxh + np.roll(dxh, -3, axis=1))[:, :3]
         np.testing.assert_array_equal(dx, np.zeros_like(dx))
+
+
+def test_prefetch_gather_experiment_matches_onehot():
+    """The scalar-prefetch dynamic-gather formulation (the VERDICT r3
+    item-5 experiment, scripts/bench_gather_prefetch.py) produces the
+    byte-identical gathered tensor as the one-hot MXU formulation — the
+    precondition for its on-chip timing row in docs/PERFORMANCE.md."""
+    from scripts.bench_gather_prefetch import check_equal
+
+    assert check_equal(tiles=1, interpret=True)

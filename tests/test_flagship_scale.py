@@ -32,6 +32,9 @@ from nsdp_tpu.utils.metrics import compute_evaluation_metrics
 
 from tests import torch_ref
 
+# smoke-excluded: minutes-scale on the 1-core box (see tests/conftest.py)
+pytestmark = pytest.mark.slow
+
 ENC = dict(npoints_per_layer=[5000, 500, 100], nneighbor=16,
            nneighbor_reduced=10, nfinal_transformers=3, d_transformer=256,
            d_reduced=120, full_SA=True)

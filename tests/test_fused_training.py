@@ -9,6 +9,9 @@ import pytest
 from nsdp_tpu.models import build_model
 from nsdp_tpu.training import create_train_state, make_steps, optimizer_factory
 
+# smoke-excluded: minutes-scale on the 1-core box (see tests/conftest.py)
+pytestmark = pytest.mark.slow
+
 
 BASE = {
     "type": "forward",

@@ -169,9 +169,13 @@ def _example(model_type, batch):
 @pytest.mark.parametrize(
     "model_type,fused",
     [
-        ("arbitrary", True),
-        ("forward", True),
-        ("backward", True),
+        # fused custom-VJP cases run the Pallas kernels in interpreter
+        # mode — minutes each on this box, so they are smoke-excluded;
+        # the non-fused case keeps the shard_map train path in the smoke
+        # tier (CLAUDE.md test tiers)
+        pytest.param("arbitrary", True, marks=pytest.mark.slow),
+        pytest.param("forward", True, marks=pytest.mark.slow),
+        pytest.param("backward", True, marks=pytest.mark.slow),
         ("arbitrary", False),
     ],
 )

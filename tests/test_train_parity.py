@@ -39,6 +39,9 @@ from nsdp_tpu.utils.torch_convert import convert_state_dict
 from tests import torch_ref
 from tests.test_model_parity import DEC_KW, _config, _enc_kw_torch, _inputs
 
+# smoke-excluded: minutes-scale on the 1-core box (see tests/conftest.py)
+pytestmark = pytest.mark.slow
+
 
 def _tree_paths_and_leaves(tree):
     flat, _ = jax.tree_util.tree_flatten_with_path(tree)
