@@ -153,3 +153,26 @@ class DataLoader:
             for fut in pending:
                 fut.cancel()
             pool.shutdown(wait=False, cancel_futures=True)
+
+
+def split_batch(batch, batch_size=None):
+    """Per-sample views of a collated batch dict, keeping the batch dim.
+
+    The reference evaluates at batch_size 1 (``test.py:81-87``); the
+    TPU-native CLIs evaluate whole batches on device and then split the
+    host-side batch back into per-sample dicts for the (host) metrics and
+    mesh/pointcloud writers, which operate on one pair at a time.  Arrays
+    whose leading axis is the batch axis are sliced to length-1; anything
+    else (scalars, metadata) is passed through.
+    """
+    import numpy as np
+
+    if batch_size is None:
+        batch_size = int(np.asarray(batch["surface_samples_inputs"]).shape[0])
+    for i in range(batch_size):
+        yield {
+            k: v[i : i + 1]
+            if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] == batch_size
+            else v
+            for k, v in batch.items()
+        }

@@ -29,6 +29,28 @@ from nsdp_tpu.models.fast_encoder import encode_fast
 from nsdp_tpu.models.encoders import PointTransformerEncoder
 
 
+def fast_predict_enabled(config) -> bool:
+    """Should the CLIs (test.py / run.py) route eval through this path?
+
+    The fused kernels exist only for the flagship encoder/decoder pair.
+    On TPU-class backends they are the shipped eval path; elsewhere the
+    flax path runs.  ``NSDP_FAST_PREDICT=1`` forces the fused path on any
+    backend (CPU runs the kernels in interpreter mode — the CLI-level
+    fused-path tests use this), ``NSDP_FAST_PREDICT=0`` forces the flax
+    path anywhere.
+    """
+    import os
+
+    arch_ok = (
+        config["model"]["decoder"] == "crossatten"
+        and config["model"]["encoder"] == "pointransformer"
+    )
+    override = os.environ.get("NSDP_FAST_PREDICT")
+    if override is not None:
+        return arch_ok and override not in ("0", "", "false")
+    return arch_ok and jax.default_backend() in ("tpu", "axon")
+
+
 def _encode(encoder, params, batch_stats, conditioning, interpret,
             compute_dtype=None, point_mask=None):
     """Fused raw-param encoder when available, flax apply otherwise."""

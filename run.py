@@ -89,19 +89,22 @@ def main(argv):
         print(f"Loading weight file from {weight_file}")
         state = load_model_variables(weight_file, state)
 
+    # NSDP_FAST_PREDICT=1/0 overrides the backend gate (fast_predict_enabled)
     fast_predict = None
-    if (
-        jax.default_backend() in ("tpu", "axon")
-        and config["model"]["decoder"] == "crossatten"
-        and config["model"]["encoder"] == "pointransformer"
-    ):
-        from nsdp_tpu.models.fast_predict import make_fast_predict
+    from nsdp_tpu.models.fast_predict import (
+        fast_predict_enabled,
+        make_fast_predict,
+    )
 
+    if fast_predict_enabled(config):
         fast_predict = make_fast_predict(
             model,
             {"params": state.params, "batch_stats": state.batch_stats},
             model_type,
             nneigh=config["model"]["decoder_kwargs"].get("nneigh", 7),
+            # compiled kernels on TPU; interpreter mode when the override
+            # forces the fused path onto CPU (tests)
+            interpret=jax.default_backend() not in ("tpu", "axon"),
         )
 
     # output folders named from the user-handle configuration
@@ -122,6 +125,8 @@ def main(argv):
         os.makedirs(gen_pc_dir, exist_ok=True)
         print(f"Save generated pointclouds in {gen_pc_dir}")
 
+    from nsdp_tpu.data.loader import split_batch
+
     logger = StatsLogger.instance()
     print("====> Interactive Editing ====>")
     for b, batch in enumerate(test_loader):
@@ -131,18 +136,21 @@ def main(argv):
         )
         logger.print_progress(-1, b + 1, 0.0)
 
-        sample_idx = int(np.asarray(batch["index"]).squeeze())
-        meta_data = test_dataset.get_metadata(sample_idx)
-        if gen_mesh_dir:
-            generate_meshes(
-                gen_mesh_dir, batch, meta_data,
-                config["test"]["mesh_format"], vert_pred_color=False,
-            )
-        if gen_pc_dir:
-            generate_pointclouds(
-                gen_pc_dir, batch, meta_data,
-                config["test"]["pointcloud_format"],
-            )
+        # device eval is batched; the host mesh/pointcloud writers take
+        # one pair at a time (same split as test.py)
+        for sample in split_batch(batch):
+            sample_idx = int(np.asarray(sample["index"]).squeeze())
+            meta_data = test_dataset.get_metadata(sample_idx)
+            if gen_mesh_dir:
+                generate_meshes(
+                    gen_mesh_dir, sample, meta_data,
+                    config["test"]["mesh_format"], vert_pred_color=False,
+                )
+            if gen_pc_dir:
+                generate_pointclouds(
+                    gen_pc_dir, sample, meta_data,
+                    config["test"]["pointcloud_format"],
+                )
 
     logger.clear()
     print("====> Interactive Editing ====>")

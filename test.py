@@ -83,20 +83,23 @@ def main(argv):
         print(f"Loading weight file from {weight_file}")
         state = load_model_variables(weight_file, state)
 
-    # fused Pallas inference path on TPU (flax path elsewhere / other archs)
+    # fused Pallas inference path on TPU (flax path elsewhere / other
+    # archs; NSDP_FAST_PREDICT=1/0 overrides — see fast_predict_enabled)
     fast_predict = None
-    if (
-        jax.default_backend() in ("tpu", "axon")
-        and config["model"]["decoder"] == "crossatten"
-        and config["model"]["encoder"] == "pointransformer"
-    ):
-        from nsdp_tpu.models.fast_predict import make_fast_predict
+    from nsdp_tpu.models.fast_predict import (
+        fast_predict_enabled,
+        make_fast_predict,
+    )
 
+    if fast_predict_enabled(config):
         fast_predict = make_fast_predict(
             model,
             {"params": state.params, "batch_stats": state.batch_stats},
             model_type,
             nneigh=config["model"]["decoder_kwargs"].get("nneigh", 7),
+            # compiled kernels on TPU; interpreter mode when the override
+            # forces the fused path onto CPU (tests)
+            interpret=jax.default_backend() not in ("tpu", "axon"),
         )
 
     logger = StatsLogger.instance()
@@ -128,6 +131,8 @@ def main(argv):
         os.makedirs(gen_pc_dir, exist_ok=True)
         print(f"Save generated pointclouds in {gen_pc_dir}")
 
+    from nsdp_tpu.data.loader import split_batch
+
     print("====> Inference / Test ====>")
     for b, batch in enumerate(test_loader):
         loss, batch = test_on_batch(
@@ -135,24 +140,28 @@ def main(argv):
             fast_predict=fast_predict,
         )
 
-        eval_dict = compute_evaluation_metrics(batch)
-        for k, v in eval_dict.items():
-            if v <= 1.0:
-                logger[k].value = v
-        logger.print_progress(-1, b + 1, loss)
+        # metrics and mesh/pointcloud writers operate on one pair at a
+        # time (reference runs batch_size 1, test.py:81-87); the device
+        # eval above is batched, the host post-processing splits
+        for sample in split_batch(batch):
+            eval_dict = compute_evaluation_metrics(sample)
+            for k, v in eval_dict.items():
+                if v <= 1.0:
+                    logger[k].value = v
 
-        sample_idx = int(np.asarray(batch["index"]).squeeze())
-        meta_data = test_dataset.get_metadata(sample_idx)
-        if gen_mesh_dir:
-            generate_meshes(
-                gen_mesh_dir, batch, meta_data,
-                config["test"]["mesh_format"], vert_pred_color=True,
-            )
-        if gen_pc_dir:
-            generate_pointclouds(
-                gen_pc_dir, batch, meta_data,
-                config["test"]["pointcloud_format"],
-            )
+            sample_idx = int(np.asarray(sample["index"]).squeeze())
+            meta_data = test_dataset.get_metadata(sample_idx)
+            if gen_mesh_dir:
+                generate_meshes(
+                    gen_mesh_dir, sample, meta_data,
+                    config["test"]["mesh_format"], vert_pred_color=True,
+                )
+            if gen_pc_dir:
+                generate_pointclouds(
+                    gen_pc_dir, sample, meta_data,
+                    config["test"]["pointcloud_format"],
+                )
+        logger.print_progress(-1, b + 1, loss)
 
     logger.clear()
     print("====> Inference / Test ====>")

@@ -72,6 +72,79 @@ def test_test_cli(fixture, tmp_path):
     assert os.path.exists(stats)
 
 
+def test_test_cli_padded_partial_runs_fused_path(fixture, tmp_path,
+                                                 monkeypatch):
+    """test.py on padded partial shapes at batch>1 actually executes the
+    fused path, and its outputs match the flax route (VERDICT r3 item 6).
+
+    ``NSDP_FAST_PREDICT=1`` lifts the TPU-backend gate (the kernels run in
+    interpreter mode on CPU); the wrapped ``make_fast_predict`` counts real
+    executions of the fused callable — path selection is asserted, not
+    assumed.  The flax-route run (``NSDP_FAST_PREDICT=0``) must produce the
+    same per-pair losses and metrics.
+    """
+    StatsLogger.reset()
+    import test as test_cli
+    import nsdp_tpu.models.fast_predict as fp
+
+    cfg, cfg_path = _write_cfg(fixture, tmp_path)
+    cfg["data"]["partial_shape_ratio"] = 0.6
+    cfg["data"]["pad_partial_shapes"] = True
+    cfg["test"]["batch_size"] = 2
+    cfg["test"]["generate_mesh"] = False
+    cfg["test"]["generate_pointcloud"] = False
+
+    def run(out_name, force):
+        cfg["experiment"]["out_dir"] = str(tmp_path / out_name)
+        with open(cfg_path, "w") as f:
+            yaml.safe_dump(cfg, f)
+        StatsLogger.reset()
+        monkeypatch.setenv("NSDP_FAST_PREDICT", force)
+        # the dataset's partial-hole sampling uses the global np.random
+        # stream: reseed so both routes see identical holes
+        np.random.seed(7)
+        test_cli.main([cfg_path, "--matmul_precision", "highest"])
+        stats = os.path.join(
+            cfg["experiment"]["out_dir"], "synthetic",
+            cfg["test"]["motion_split"] + ".txt",
+        )
+        import re
+
+        with open(stats) as f:
+            lines = [l for l in f.read().splitlines() if "loss:" in l]
+        # every float on a progress line (loss + aggregated l2/fnc/cd);
+        # the epoch/batch ints carry no decimal point and don't match
+        return [
+            [float(x) for x in re.findall(r"-?\d+\.\d+(?:e-?\d+)?", line)]
+            for line in lines
+        ]
+
+    calls = {"n": 0}
+    orig = fp.make_fast_predict
+
+    def counting(*a, **kw):
+        inner = orig(*a, **kw)
+
+        def wrapped(*args, **kwargs):
+            calls["n"] += 1
+            return inner(*args, **kwargs)
+
+        return wrapped
+
+    monkeypatch.setattr(fp, "make_fast_predict", counting)
+
+    fused_vals = run("out_fused", "1")
+    assert calls["n"] > 0, "fused path was never executed"
+    n_fused_calls = calls["n"]
+
+    flax_vals = run("out_flax", "0")
+    assert calls["n"] == n_fused_calls, "flax route ran the fused path"
+
+    assert len(fused_vals) == len(flax_vals) > 0
+    for a, b in zip(fused_vals, flax_vals):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-4)
+
+
 def test_config_validation(tmp_path):
     from nsdp_tpu.utils.config import load_config
 
