@@ -266,6 +266,27 @@ def make_steps(model, model_type: str, tx, nan_guard: bool = False,
         )
 
     @jax.jit
+    def watch_stats(state: TrainState, batch):
+        """Per-module parameter/gradient L2 norms + per-leaf norm vectors.
+
+        The flax equivalent of the reference's ``wandb.watch(model)``
+        histograms (reference ``utils/logger.py:102-103``): run one
+        grad pass on the given batch (sharded exactly like ``train_step``)
+        and reduce each top-level module subtree to its global norm, plus
+        a flat vector of every leaf's norm for histogram logging.
+        """
+        (_, _), grads = _grad_fn(state.params, state.batch_stats, batch)
+
+        def tree_norms(tree):
+            top = {k: optax.global_norm(v) for k, v in tree.items()}
+            leaves = jnp.stack(
+                [jnp.linalg.norm(l.ravel()) for l in jax.tree.leaves(tree)]
+            )
+            return top, leaves
+
+        return tree_norms(state.params), tree_norms(grads)
+
+    @jax.jit
     def predict(state: TrainState, points, surface_samples_inputs,
                 point_mask=None):
         """Evaluate the deformation field at arbitrary query points."""
@@ -289,6 +310,7 @@ def make_steps(model, model_type: str, tx, nan_guard: bool = False,
         "validate_step": validate_step,
         "validate_step_masked": validate_step_masked,
         "predict": predict,
+        "watch_stats": watch_stats,
     }
 
 

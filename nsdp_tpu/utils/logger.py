@@ -43,13 +43,19 @@ class StatsLogger:
 
     @classmethod
     def instance(cls) -> "StatsLogger":
-        if cls._INSTANCE is None or not isinstance(cls._INSTANCE, cls):
-            cls._INSTANCE = cls()
-        return cls._INSTANCE
+        # The singleton lives on the BASE class explicitly: ``cls._INSTANCE
+        # = ...`` from a subclass would shadow it on the subclass, leaving
+        # ``WandB.instance()`` and ``StatsLogger.instance()`` as two live
+        # "singletons" — train.py's progress lines would never reach wandb.
+        inst = StatsLogger._INSTANCE
+        if inst is None or not isinstance(inst, cls):
+            StatsLogger._INSTANCE = None  # permit the subclass upgrade
+            StatsLogger._INSTANCE = cls()
+        return StatsLogger._INSTANCE
 
     @classmethod
     def reset(cls):
-        cls._INSTANCE = None
+        StatsLogger._INSTANCE = None
 
     def add_output_file(self, f):
         self._output_files.append(f)
@@ -85,6 +91,26 @@ class StatsLogger:
         return self._loss.value
 
 
+def watch_log_dict(param_norms, grad_norms):
+    """Flatten per-module param/grad norms into a wandb-loggable dict.
+
+    The flax equivalent of the reference's ``wandb.watch(model)``
+    (reference ``utils/logger.py:102-103``): per-top-level-module global L2
+    norms as scalars (``param_norm/<module>``, ``grad_norm/<module>``) plus
+    the flat per-leaf norm vectors (``param_leaf_norms`` /
+    ``grad_leaf_norms``) for histogram rendering.  Pure function so it is
+    testable without a wandb install.
+    """
+    out = {}
+    for prefix, (top, leaves) in (
+        ("param", param_norms), ("grad", grad_norms)
+    ):
+        for mod, v in top.items():
+            out[f"{prefix}_norm/{mod}"] = float(v)
+        out[f"{prefix}_leaf_norms"] = [float(x) for x in leaves]
+    return out
+
+
 class WandB(StatsLogger):
     """StatsLogger that also ships aggregates to Weights & Biases per epoch."""
 
@@ -108,11 +134,35 @@ class WandB(StatsLogger):
         self.experiment_name = name
         self._epoch = 0
         self._validation = False
+        self.watch = watch
+        self.log_frequency = log_frequency
         wandb.login()
         cfg = experiment_arguments
         if hasattr(cfg, "items"):
             cfg = dict(cfg.items())
         wandb.init(project=project or None, name=name or None, config=cfg)
+
+    def log_watch(self, param_norms, grad_norms):
+        """Per-epoch parameter/gradient norm logging (the ``wandb.watch``
+        equivalent — reference ``utils/logger.py:102-103``).
+
+        ``param_norms``/``grad_norms`` are ``(top_level_norms: dict,
+        leaf_norms: vector)`` pairs as produced by the ``watch_stats`` step
+        (:func:`nsdp_tpu.training.steps.make_steps`).  Scalars log directly;
+        the per-leaf norm vectors become wandb histograms.  Logged with
+        ``commit=False`` so they attach to the same wandb step as the
+        epoch's aggregate metrics from :meth:`clear`.
+        """
+        if not hasattr(self, "_wandb"):
+            return
+        values = watch_log_dict(param_norms, grad_norms)
+        hist = getattr(self._wandb, "Histogram", None)
+        for k in ("param_leaf_norms", "grad_leaf_norms"):
+            values[k] = hist(values[k]) if hist is not None else None
+        self._wandb.log(
+            {k: v for k, v in values.items() if v is not None},
+            commit=False,
+        )
 
     def print_progress(self, epoch, batch, loss, precision="{:.5f}"):
         super().print_progress(epoch, batch, loss, precision)

@@ -191,15 +191,19 @@ def main(argv):
     )
     state = replicate(state, mesh)
 
+    wandb_watch = False
     if args.with_wandb_logger and main_proc:
+        # watch defaults ON, like the reference's wandb.watch(model)
+        # (reference utils/logger.py:102-103; train.py:166-172)
         WandB.instance().init(
             config,
             model=None,
             project=config.get("logger", {}).get("project", "NSDP"),
             name=experiment_name,
-            watch=False,
-            log_frequency=10,
+            watch=config.get("logger", {}).get("watch", True),
+            log_frequency=config.get("logger", {}).get("log_frequency", 10),
         )
+        wandb_watch = WandB.instance().watch
     logger = StatsLogger.instance()
     if main_proc:
         logger.add_output_file(
@@ -237,6 +241,13 @@ def main(argv):
                 timer.tick()
                 logger["steps_per_sec"].value = timer.steps_per_sec
                 logger.print_progress(epoch + 1, pb + 1, float(pl))
+
+        if wandb_watch and pending is not None:
+            # per-epoch param/grad-norm histograms (the wandb.watch
+            # equivalent): one extra grad pass on the epoch's last batch
+            logger.log_watch(*jax.device_get(
+                steps["watch_stats"](state, batch)
+            ))
 
         if (epoch % save_every) == 0 and main_proc:
             checkpointer.save(epoch, state, experiment_directory)
