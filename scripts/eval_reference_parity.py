@@ -10,12 +10,20 @@ nonzero if any aggregate metric differs by more than ``--threshold``
 
   python scripts/eval_reference_parity.py CONFIG TORCH_PT \
       [--dataset_dir D] [--split_dir S] [--max_pairs N] \
-      [--threshold 0.01] [--out report.json]
+      [--threshold 0.01] [--out report.json] [--dry-run]
 
 Run once per published model/config pair (S1 forward/backward, S2
 arbitrary).  Until egress exists, ``tests/test_reference_parity_runbook.py``
 exercises this script end-to-end on the synthetic stand-in with a
 freshly-saved torch replica as the "published" file.
+
+``--dry-run`` validates everything that can be validated WITHOUT running
+eval — the dataset root's directory contract (split files, per-frame
+``orig_to_gaps.txt`` / ``surface_points.npz`` / ``flow.npz`` / mesh, a full
+parse of the first pair) and the checkpoint's key/shape inventory against
+the published ``.pt`` names (reference ``model/__init__.py:85-92`` formats)
+— so the day egress exists, the parity claim is one command with no
+debugging.  Exits nonzero with a JSON problem list otherwise.
 """
 
 import argparse
@@ -32,10 +40,137 @@ def _enc_kw(config, no_corr):
     return kw
 
 
-def build_torch_replica(config, torch_file):
-    """The published checkpoint loaded into the torch re-implementation."""
+def _load_state_dict(torch_file):
+    """The published file's raw tensor dict (both on-disk formats)."""
     import torch
 
+    payload = torch.load(torch_file, map_location="cpu", weights_only=False)
+    return payload.get("model_state_dict", payload) \
+        if isinstance(payload, dict) else payload
+
+
+def dry_run(config, torch_file, max_pairs=0):
+    """Validate the dataset root + checkpoint inventory without evaluating.
+
+    Returns a JSON-able report with ``ok`` and a ``problems`` list.  Pure
+    numpy/torch — no jax import, no device, no eval pass.
+    """
+    import numpy as np
+
+    from nsdp_tpu.data import dataset_dict
+
+    problems = []
+    report = {"dry_run": True, "dataset": {}, "checkpoint": {}}
+
+    # -- dataset root contract -------------------------------------------
+    dtype = config["data"]["type"]
+    dcfg = config["data"]
+    try:
+        Dataset = dataset_dict[dtype]
+        ds = Dataset(
+            config,
+            iden_split=config["test"]["iden_split"],
+            motion_split=config["test"]["motion_split"],
+            load_mesh=True,
+            num_sampled_pairs=max_pairs or config["test"]["num_sampled_pairs"],
+            rng=np.random.RandomState(0),
+        )
+    except Exception as e:
+        problems.append(f"dataset construction failed: {e!r}")
+        ds = None
+    if ds is not None:
+        report["dataset"]["pairs"] = len(ds)
+        if len(ds) == 0:
+            problems.append(
+                "dataset produced 0 evaluation pairs (empty/mismatched "
+                "split files or missing sequence directories?)"
+            )
+        # every frame directory referenced by the pair list must carry the
+        # full file contract; user-handle datasets are mesh-only
+        flow = dtype in ("deform4d", "deformtransfer")
+        required = [dcfg["norm_params_file"], dcfg["mesh_file"]]
+        if flow:
+            required += [dcfg["surface_flow_file"], dcfg["space_flow_file"]]
+        frame_dirs = sorted({
+            d for i in range(len(ds)) for d in ds._resolve_pair_dirs(i)
+        })
+        report["dataset"]["frame_dirs"] = len(frame_dirs)
+        missing = [
+            os.path.join(d, f)
+            for d in frame_dirs
+            for f in required
+            if not os.path.isfile(os.path.join(d, f))
+        ]
+        if missing:
+            problems.append(
+                f"{len(missing)} required frame files missing, e.g. "
+                f"{missing[:5]}"
+            )
+        # full parse of the first pair: npz keys, 4x4 matrix, mesh load,
+        # subsampling/mask assembly
+        if len(ds) and not missing:
+            try:
+                item = ds[0]
+                report["dataset"]["first_item_keys"] = sorted(item)
+            except Exception as e:
+                problems.append(f"first pair failed to assemble: {e!r}")
+
+    # -- checkpoint key/shape inventory ------------------------------------
+    try:
+        sd = _load_state_dict(torch_file)
+        got = {k: tuple(v.shape) for k, v in sd.items()}
+    except Exception as e:
+        problems.append(f"checkpoint unreadable: {e!r}")
+        got = None
+    if got is not None:
+        expected_model = build_torch_replica(config, None)
+        expected = {
+            k: tuple(v.shape)
+            for k, v in expected_model.state_dict().items()
+        }
+        missing_keys = sorted(set(expected) - set(got))
+        unexpected = sorted(set(got) - set(expected))
+        mismatched = sorted(
+            k for k in set(expected) & set(got) if expected[k] != got[k]
+        )
+        report["checkpoint"] = {
+            "keys": len(got),
+            "expected_keys": len(expected),
+            "missing": missing_keys[:10],
+            "n_missing": len(missing_keys),
+            "unexpected": unexpected[:10],
+            "n_unexpected": len(unexpected),
+            "shape_mismatches": [
+                {"key": k, "got": got[k], "expected": expected[k]}
+                for k in mismatched[:10]
+            ],
+            "n_shape_mismatches": len(mismatched),
+        }
+        if missing_keys:
+            problems.append(
+                f"checkpoint missing {len(missing_keys)} expected keys"
+            )
+        if mismatched:
+            problems.append(
+                f"checkpoint has {len(mismatched)} shape mismatches"
+            )
+        # unexpected keys alone are a warning, not a failure: the reference
+        # allocates parameters it never uses (see utils/torch_convert._merge)
+        if unexpected:
+            report["checkpoint"]["note"] = (
+                f"{len(unexpected)} unused torch keys will be dropped "
+                "by the converter"
+            )
+
+    report["problems"] = problems
+    report["ok"] = not problems
+    return report
+
+
+def build_torch_replica(config, torch_file):
+    """The torch re-implementation, optionally loading a published
+    checkpoint into it (``torch_file=None`` returns the fresh replica —
+    the expected-key inventory for ``--dry-run``)."""
     from tests import torch_ref
 
     model_type = config["model"]["type"]
@@ -48,9 +183,8 @@ def build_torch_replica(config, torch_file):
     else:
         no_corr = model_type == "backward"
         model = torch_ref.DefNet(_enc_kw(config, no_corr), dec, no_corr)
-    payload = torch.load(torch_file, map_location="cpu", weights_only=False)
-    state_dict = payload.get("model_state_dict", payload)
-    model.load_state_dict(state_dict)
+    if torch_file is not None:
+        model.load_state_dict(_load_state_dict(torch_file))
     model.eval()
     return model
 
@@ -69,7 +203,27 @@ def main(argv=None):
     parser.add_argument("--threshold", type=float, default=0.01,
                         help="max allowed relative aggregate difference")
     parser.add_argument("--out", default=None, help="write report JSON here")
+    parser.add_argument(
+        "--dry-run", action="store_true",
+        help="validate the dataset root contract and the checkpoint key "
+        "inventory, then exit without evaluating",
+    )
     args = parser.parse_args(argv)
+
+    if args.dry_run:
+        from nsdp_tpu.utils.config import load_config as _load_config
+
+        config = _load_config(args.config_file)
+        if args.dataset_dir:
+            config["data"]["dataset_dir"] = args.dataset_dir
+        if args.split_dir:
+            config["data"]["split_dir"] = args.split_dir
+        report = dry_run(config, args.torch_file, max_pairs=args.max_pairs)
+        print(json.dumps(report, indent=2))
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(report, f, indent=2)
+        return 0 if report["ok"] else 1
 
     import numpy as np
     import torch
