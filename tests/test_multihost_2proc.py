@@ -27,6 +27,9 @@ import numpy as np
 import pytest
 import yaml
 
+# smoke-excluded: minutes-scale on the 1-core box (see tests/conftest.py)
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -36,8 +39,17 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _launch_pair(phase, extra_args, timeout=1800):
-    """Run two runner processes (4 CPU devices each) to completion."""
+def _launch_pair_once(phase, extra_args, timeout):
+    """Run two runner processes (4 CPU devices each) to completion.
+
+    Both stdout pipes are drained concurrently (a blocked/full pipe on one
+    rank must not deadlock the other), and ALL processes are killed on any
+    failure path — a surviving gloo peer stuck in a collective would
+    otherwise linger for the full distributed timeout and starve the rest
+    of the suite on this 1-core box.
+    """
+    import threading
+
     port = _free_port()
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
@@ -51,19 +63,51 @@ def _launch_pair(phase, extra_args, timeout=1800):
         )
         for pid in (0, 1)
     ]
-    outs = []
-    for pid, p in enumerate(procs):
-        try:
-            out, _ = p.communicate(timeout=timeout)
-        except subprocess.TimeoutExpired:
-            for q in procs:
+    outs = [None, None]
+
+    def drain(pid):
+        outs[pid] = procs[pid].stdout.read()
+        procs[pid].wait()
+
+    threads = [
+        threading.Thread(target=drain, args=(pid,), daemon=True)
+        for pid in (0, 1)
+    ]
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=timeout)
+        if any(t.is_alive() for t in threads):
+            raise subprocess.TimeoutExpired(procs[0].args, timeout)
+        for pid, p in enumerate(procs):
+            assert p.returncode == 0, (
+                f"process {pid} failed (rc={p.returncode}):\n"
+                f"{(outs[pid] or '')[-4000:]}"
+            )
+    finally:
+        for q in procs:
+            if q.poll() is None:
                 q.kill()
-            raise
-        outs.append(out)
-        assert p.returncode == 0, (
-            f"process {pid} failed (rc={p.returncode}):\n{out[-4000:]}"
-        )
     return outs
+
+
+def _launch_pair(phase, extra_args, timeout=1800):
+    """_launch_pair_once with ONE retry on a coordinator port collision:
+    _free_port() closes its probe socket before jax.distributed binds it
+    (TOCTOU), so a concurrent process can steal the port — a rare flake
+    that should fail fast and retry on a fresh port, not hang."""
+    try:
+        return _launch_pair_once(phase, extra_args, timeout)
+    except AssertionError as e:
+        text = str(e)
+        bindish = any(
+            s in text.lower()
+            for s in ("bind", "address already in use", "unavailable")
+        )
+        if not bindish:
+            raise
+        return _launch_pair_once(phase, extra_args, timeout)
 
 
 def _single_process_reference():
@@ -113,7 +157,14 @@ def test_two_process_step_matches_single_process(tmp_path):
             results.append(json.load(f))
 
     assert results[0]["is_main"] and not results[1]["is_main"]
-    # both processes observe the identical (replicated) loss trajectory
+    # Both processes observe the identical (replicated) loss trajectory.
+    # Exact equality is deliberate: it asserts the bitwise-replication
+    # invariant — every rank's psum/pmean returns the same bits, so
+    # replicated state can never drift apart.  Current gloo (and TPU ICI)
+    # allreduce algorithms satisfy it; if a future collectives backend
+    # returns rank-varying rounding, this should FAIL loudly (replicated
+    # optimizer states silently diverging is a real production failure),
+    # not be papered over with a tolerance.
     assert results[0]["losses"] == results[1]["losses"]
     assert results[0]["params"] == results[1]["params"]
 
