@@ -47,6 +47,11 @@ def fused_cross_attention(
         gamma_w0, gamma_b0, gamma_w1, gamma_b1,
         k=k, tile=tile, interpret=interpret,
         k_glob=k_glob, v_glob=v_glob,
+        # inference-only cross attention: no gradients, so the exact-zero
+        # self-delta property is not needed even where a surface-sample
+        # query coincides with an anchor — skip the per-slot roll
+        # reconstruction (see fused_vector_attention's exact_self doc)
+        exact_self=False,
     )
 
 
@@ -63,7 +68,7 @@ def decode_fast(
     xyz_q,
     encoding,
     nneigh: int = 7,
-    tile: int = 256,
+    tile: int = None,
     interpret: bool = None,
     compute_dtype=None,
 ):
@@ -91,6 +96,14 @@ def decode_fast(
 
     from nsdp_tpu.ops.attention_pallas import fused_vector_attention
 
+    if tile is None:
+        # tile 512 is the measured optimum for the exact_self=False cross
+        # kernel at the standard 100-anchor set (1.998 vs 2.295 ms @256,
+        # Q=65536 f32, round-4 sweep); large anchor sets fall back to 256
+        # to bound the k-unrolled (tile, M) one-hot VMEM (cf. the same
+        # guard in nn/blocks.py's training decoder site)
+        tile = 512 if anchors.shape[1] <= 256 else 256
+
     B, Q, _ = xyz_q.shape
     qf = jnp.broadcast_to(q_glob[:, None, :], (B, Q, q_glob.shape[-1]))
     lat = fused_vector_attention(
@@ -101,6 +114,7 @@ def decode_fast(
         ct["fc_gamma"]["fc1"]["kernel"], ct["fc_gamma"]["fc1"]["bias"],
         k=nneigh, tile=tile, interpret=interpret,
         k_glob=k_glob, v_glob=v_glob, compute_dtype=compute_dtype,
+        exact_self=False,  # inference-only (see fused_cross_attention)
     )
 
     net = _dense(params["init_enc"], lat)

@@ -121,6 +121,7 @@ def _attn_kernel(
     idx_ref=None,
     res_ref=None,
     *, k: int, m_valid: int, pos_only: bool, has_global: bool,
+    exact_self: bool = True,
 ):
     xyzq = xyzq_ref[0]  # (T, 8)
     kvt = kvt_ref[0]  # (8, Mpad) transposed kv coords
@@ -178,9 +179,16 @@ def _attn_kernel(
         # residue plainly-stored coords had.)
         gath = jnp.dot(onehot, xk, precision=_DOT_PREC, preferred_element_type=_F32)  # (T, 8|W)
         dxh = xyzq - gath[:, :8]  # [xyzq - hi | -lo | 0 0]
-        lane8 = jax.lax.broadcasted_iota(jnp.int32, (T, 8), 1)
-        keep3 = (lane8 < 3).astype(_F32)
-        dx = (dxh + _roll_left(dxh, 3)) * keep3
+        if exact_self:
+            lane8 = jax.lax.broadcasted_iota(jnp.int32, (T, 8), 1)
+            keep3 = (lane8 < 3).astype(_F32)
+            dx = (dxh + _roll_left(dxh, 3)) * keep3
+        else:
+            # cross attention (queries never in the kv set): skip the
+            # per-slot roll reconstruction — dw0 rides with rows 0-2
+            # duplicated into 3-5 (_split_w0(dup=True)) so the MLP's
+            # first dot reassembles dx·w in its f32 accumulator for free
+            dx = dxh
         pos = _mlp2(dx, dw0, db0, dw1, db1)  # (T, D)
         if pos_only:
             logits = _mlp2(pos, gw0, gb0, gw1, gb1)
@@ -512,20 +520,31 @@ def _pack_xk(kv_xyz, K_a, m_pad):
     return jnp.concatenate([xyz8, K_p], axis=-1), W
 
 
-def _split_w0(delta_w0, cast=None):
+def _split_w0(delta_w0, cast=None, dup=False):
     """Position-MLP input weights (3, D) → (1, 8, D), zero-padded.
 
-    (A rows-0-2-duplicated variant that fed the raw split delta to the
-    MLP was tried and reverted: it loses the exact zero of the
-    self-attention delta — see the dx reconstruction comment in
-    ``_attn_kernel``.)"""
+    With ``dup=True`` rows 0-2 AND 3-5 both carry the weights: the kernel
+    then feeds the raw split delta ``dxh = [xyzq−hi | −lo | 0 0]`` straight
+    to the MLP and the first layer computes
+    ``(xyzq−hi)·w + (−lo)·w = dx·w`` inside the dot's f32 accumulator —
+    zero extra per-slot ops.  The summation order is NOT the XLA path's
+    ``(xyzq−coord)·w`` bitwise, and in particular a self-attention query
+    gathering itself loses the EXACT zero of its delta (the two cancelling
+    products meet other partial sums first), which flips relu subgradients
+    at zero-init biases — so ``dup`` is only for CROSS attention, where
+    queries never coincide with keys (``exact_self=False``).  Self
+    attention keeps ``dup=False`` + the explicit roll reconstruction in
+    ``_attn_kernel``."""
     assert delta_w0.shape[0] == 3, delta_w0.shape
     w = delta_w0.astype(_F32) if cast is None else cast(delta_w0)
+    if dup:
+        return jnp.pad(jnp.concatenate([w, w], axis=0), ((0, 2), (0, 0)))[None]
     return jnp.pad(w, ((0, 5), (0, 0)))[None]
 
 
 @partial(jax.jit, static_argnames=("k", "tile", "interpret", "return_idx",
-                                   "compute_dtype", "save_residuals"))
+                                   "compute_dtype", "save_residuals",
+                                   "exact_self"))
 def fused_vector_attention(
     xyz_q,
     kv_xyz,
@@ -543,6 +562,7 @@ def fused_vector_attention(
     compute_dtype=None,
     kv_mask: Optional[jax.Array] = None,
     save_residuals: bool = False,
+    exact_self: bool = True,
 ):
     """Fused kNN vector attention (pre-residual, pre-norm).
 
@@ -562,6 +582,15 @@ def fused_vector_attention(
       save_residuals: additionally return the packed per-slot residuals
         ``[dx | u | val]`` the Pallas backward consumes (requires
         return_idx; used by the custom-VJP training path).
+      exact_self: preserve the EXACT zero of a self-attention query's
+        delta to itself (the roll reconstruction — see ``_attn_kernel``).
+        Required whenever a query can coincide with a kv point (encoder
+        self-attention, set abstraction around FPS centres).  Pass False
+        for pure CROSS attention (the decoder: queries are field points,
+        keys are anchors) — the split delta then feeds the position MLP
+        directly through duplicated weight rows, saving the per-slot roll
+        (~15% end-to-end inference on the decoder-dominated paths; the
+        delta error stays ~2^-16 relative, same as the roll path on MXU).
 
     Returns:
       (B, Nq, D) float32 (plus idx and residuals when requested).
@@ -577,6 +606,10 @@ def fused_vector_attention(
     has_global = k_glob is not None
     if has_global and pos_only:
         raise ValueError("global token requires query features")
+    if pos_only and not exact_self:
+        # pos_only is only used by self-attention sites; refuse a footgun
+        raise ValueError("exact_self=False requires query features "
+                         "(cross attention)")
     cd = jnp.dtype(compute_dtype) if compute_dtype is not None else _F32
     # distances and coordinate deltas stay f32 (selection must be exact);
     # value-feature matmuls may run bf16 with f32 accumulation.
@@ -606,7 +639,7 @@ def fused_vector_attention(
         V_p = jnp.pad(cast(V_a), ((0, 0), (0, m_pad - M), (0, 0)))
         feat_d = D
 
-    dw0 = _split_w0(delta_w0, cast)
+    dw0 = _split_w0(delta_w0, cast, dup=not exact_self)
     dw1 = cast(delta_w1)[None]
     gw0 = cast(gamma_w0)[None]
     gw1 = cast(gamma_w1)[None]
@@ -650,7 +683,7 @@ def fused_vector_attention(
     out = pl.pallas_call(
         partial(
             _attn_kernel, k=k, m_valid=M, pos_only=pos_only,
-            has_global=has_global,
+            has_global=has_global, exact_self=exact_self,
         ),
         out_shape=tuple(out_shape) if len(out_shape) > 1 else out_shape[0],
         grid=(B, n_tiles),
@@ -686,7 +719,7 @@ def fused_vector_attention(
     return out[:, :Nq]
 
 
-@partial(jax.jit, static_argnames=("k", "tile", "interpret"))
+@partial(jax.jit, static_argnames=("k", "tile", "interpret", "exact_self"))
 def _fused_attention_bwd(
     xyz_q, kv_xyz, q_feats, K_a, V_a,
     delta_w0, delta_b0, delta_w1, delta_b1,
@@ -697,12 +730,16 @@ def _fused_attention_bwd(
     interpret: bool = None,
     k_glob=None,
     v_glob=None,
+    exact_self: bool = True,
 ):
     """Pallas backward pass; returns grads for every differentiable input.
 
     ``idx`` and ``res`` are the kNN indices and packed per-slot residuals
     saved by the forward; the kv tables themselves are not needed (the
-    xyz_q / kv_xyz / K_a / V_a arguments only provide shapes)."""
+    xyz_q / kv_xyz / K_a / V_a arguments only provide shapes).
+    ``exact_self`` must match the forward call: with False the saved
+    residual is the raw split delta and ``dw0`` rides duplicated, so the
+    fc_delta weight gradient folds rows 3-5 back onto 0-2."""
     interpret = _resolve_interpret(interpret)
     B, Nq, _ = xyz_q.shape
     M = kv_xyz.shape[1]
@@ -731,7 +768,7 @@ def _fused_attention_bwd(
         qf = jnp.pad(q_feats.astype(_F32), ((0, 0), (0, q_pad - Nq), (0, 0)))
         feat_d = D
 
-    dw0 = _split_w0(delta_w0)
+    dw0 = _split_w0(delta_w0, dup=not exact_self)
     dw1 = delta_w1.astype(_F32)[None]
     gw0 = gamma_w0.astype(_F32)[None]
     gw1 = gamma_w1.astype(_F32)[None]
@@ -819,6 +856,13 @@ def _fused_attention_bwd(
     (dxyzq, dxk, dq, dV, dglob,
      ddw0, ddb0, ddw1, ddb1, dgw0, dgb0, dgw1, dgb1) = outs
 
+    # dup mode: the MLP-input gradient lands identically in lanes 0-2 and
+    # 3-5 (both blocks of the duplicated dw0 are the same rows), so lanes
+    # 0-2 of dxyzq/dxk still carry the full coordinate gradients; only the
+    # WEIGHT gradient splits across the two row blocks and must fold back
+    # (rows 0-2 accumulated (xyzq−hi)ᵀdz, rows 3-5 accumulated (−lo)ᵀdz —
+    # their sum is the true dxᵀdz).
+    ddw0_f = ddw0[0, :3] if exact_self else ddw0[0, :3] + ddw0[0, 3:6]
     grads = (
         # the hi table entries are the pass-through of the kv coordinate
         # (lo has zero derivative under the cast-is-identity convention),
@@ -828,7 +872,7 @@ def _fused_attention_bwd(
         None if pos_only else dq[:, :Nq],
         None if pos_only else dxk[:, :M, 8 : 8 + D],
         None if pos_only else dV[:, :M],
-        ddw0[0, :3], ddb0[0, 0], ddw1[0], ddb1[0, 0],
+        ddw0_f, ddb0[0, 0], ddw1[0], ddb1[0, 0],
         dgw0[0], dgb0[0, 0], dgw1[0], dgb1[0, 0],
         dglob[:, 0] if has_global else None,
         dglob[:, 1] if has_global else None,
@@ -836,12 +880,13 @@ def _fused_attention_bwd(
     return grads
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(16, 17, 18))
+@partial(jax.custom_vjp, nondiff_argnums=(16, 17, 18, 19))
 def knn_vector_attention(
     xyz_q, kv_xyz, q_feats, K_a, V_a, k_glob, v_glob, kv_mask,
     delta_w0, delta_b0, delta_w1, delta_b1,
     gamma_w0, gamma_b0, gamma_w1, gamma_b1,
     k: int, tile: int = 128, interpret: bool = None,
+    exact_self: bool = True,
 ):
     """Differentiable fused kNN vector attention (custom VJP, both passes in
     Pallas).  Same semantics as :func:`fused_vector_attention` (optionally
@@ -856,6 +901,7 @@ def knn_vector_attention(
         gamma_w0, gamma_b0, gamma_w1, gamma_b1,
         k=k, tile=tile, interpret=interpret,
         k_glob=k_glob, v_glob=v_glob, kv_mask=kv_mask,
+        exact_self=exact_self,
     )
 
 
@@ -863,7 +909,7 @@ def _kva_fwd(
     xyz_q, kv_xyz, q_feats, K_a, V_a, k_glob, v_glob, kv_mask,
     delta_w0, delta_b0, delta_w1, delta_b1,
     gamma_w0, gamma_b0, gamma_w1, gamma_b1,
-    k, tile, interpret,
+    k, tile, interpret, exact_self,
 ):
     out, idx, res = fused_vector_attention(
         xyz_q, kv_xyz, q_feats, K_a, V_a,
@@ -871,7 +917,7 @@ def _kva_fwd(
         gamma_w0, gamma_b0, gamma_w1, gamma_b1,
         k=k, tile=tile, interpret=interpret,
         k_glob=k_glob, v_glob=v_glob, kv_mask=kv_mask, return_idx=True,
-        save_residuals=True,
+        save_residuals=True, exact_self=exact_self,
     )
     residuals = (
         xyz_q, kv_xyz, q_feats, K_a, V_a, k_glob, v_glob, kv_mask,
@@ -881,7 +927,7 @@ def _kva_fwd(
     return out, residuals
 
 
-def _kva_bwd(k, tile, interpret, residuals, g):
+def _kva_bwd(k, tile, interpret, exact_self, residuals, g):
     (xyz_q, kv_xyz, q_feats, K_a, V_a, k_glob, v_glob, kv_mask,
      delta_w0, delta_b0, delta_w1, delta_b1,
      gamma_w0, gamma_b0, gamma_w1, gamma_b1, idx, res) = residuals
@@ -890,7 +936,7 @@ def _kva_bwd(k, tile, interpret, residuals, g):
         delta_w0, delta_b0, delta_w1, delta_b1,
         gamma_w0, gamma_b0, gamma_w1, gamma_b1,
         g, idx, res, k=k, tile=tile, interpret=interpret,
-        k_glob=k_glob, v_glob=v_glob,
+        k_glob=k_glob, v_glob=v_glob, exact_self=exact_self,
     )
     (dxyzq, dkvxyz, dq, dK, dV,
      ddw0, ddb0, ddw1, ddb1, dgw0, dgb0, dgw1, dgb1,

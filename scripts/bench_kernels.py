@@ -25,7 +25,8 @@ def _slope(fn, K=32):
 
 def bench_attention(shape_name, B, Q, M, D, k, pos_only=False,
                     has_global=False, tiles=(128, 256, 512, 1024),
-                    dtypes=("float32", "bfloat16"), grad=False):
+                    dtypes=("float32", "bfloat16"), grad=False,
+                    exact_self=True):
     import jax
     import jax.numpy as jnp
 
@@ -90,7 +91,7 @@ def bench_attention(shape_name, B, Q, M, D, k, pos_only=False,
                         out = fused_vector_attention(
                             x, kv, qf, K_a, V_a, *w,
                             k=k, tile=_tile, k_glob=k_g, v_glob=v_g,
-                            compute_dtype=_dtype,
+                            compute_dtype=_dtype, exact_self=exact_self,
                         )
                         # data dependency that XLA cannot fold away
                         return x + out[:, :, :3] * 1e-30
@@ -114,6 +115,9 @@ def main(argv=None):
     p.add_argument("--grad", action="store_true",
                    help="time forward + Pallas backward (training path)")
     p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--cross-fast", action="store_true",
+                   help="decoder shape with exact_self=False (the "
+                        "inference fast path, fast_decoder.decode_fast)")
     args = p.parse_args(argv)
 
     dtypes = ("float32",) if args.grad else ("float32", "bfloat16")
@@ -122,7 +126,7 @@ def main(argv=None):
         # 7 neighbours + the global token
         bench_attention("decoder", args.batch, 65536 // max(args.batch, 1),
                         100, 200, 7, has_global=True, grad=args.grad,
-                        dtypes=dtypes)
+                        dtypes=dtypes, exact_self=not args.cross_fast)
     if args.which in ("all", "encoder"):
         # transformer_begin (pos_only local self-attention, d_reduced=120)
         bench_attention("enc_begin", args.batch, 5000, 5000, 120, 10,

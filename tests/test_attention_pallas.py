@@ -322,6 +322,96 @@ class TestCoordSplitTable:
         np.testing.assert_array_equal(dx, np.zeros_like(dx))
 
 
+class TestExactSelfFalse:
+    """Cross-attention fast path: ``exact_self=False`` skips the per-slot
+    roll reconstruction and feeds the raw split delta through duplicated
+    fc_delta rows (``_split_w0(dup=True)``) — the round-4 recovery of the
+    Dekker-split inference regression (scripts/ab_qps_drag.py).  Outputs
+    and gradients must still match the XLA reference math; only the
+    bitwise-exact self-delta property is given up."""
+
+    def test_forward_cross_with_global(self, rng):
+        B, N, A, d, k = 2, 60, 20, 10, 5
+        xyz_q = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+        kv = jnp.asarray(rng.randn(B, A, 3).astype(np.float32))
+        qf = jnp.asarray(rng.randn(B, N, d).astype(np.float32))
+        K = jnp.asarray(rng.randn(B, A, d).astype(np.float32))
+        V = jnp.asarray(rng.randn(B, A, d).astype(np.float32))
+        k_g = jnp.asarray(rng.randn(B, d).astype(np.float32))
+        v_g = jnp.asarray(rng.randn(B, d).astype(np.float32))
+        w = _weights(rng, d)
+        ref = TestGlobalToken()._ref_global(xyz_q, kv, qf, K, V, k_g, v_g, w, k)
+        got = fused_vector_attention(
+            xyz_q, kv, qf, K, V, *w, k=k, tile=128, interpret=True,
+            k_glob=k_g, v_glob=v_g, exact_self=False,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5
+        )
+
+    def test_forward_matches_exact_self_variant(self, rng):
+        # same inputs through both reconstructions: ulp-level agreement
+        B, N, A, d, k = 1, 70, 24, 8, 6
+        xyz_q = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+        kv = jnp.asarray(rng.randn(B, A, 3).astype(np.float32))
+        qf = jnp.asarray(rng.randn(B, N, d).astype(np.float32))
+        K = jnp.asarray(rng.randn(B, A, d).astype(np.float32))
+        V = jnp.asarray(rng.randn(B, A, d).astype(np.float32))
+        w = _weights(rng, d)
+        a = fused_vector_attention(
+            xyz_q, kv, qf, K, V, *w, k=k, tile=128, interpret=True,
+        )
+        b = fused_vector_attention(
+            xyz_q, kv, qf, K, V, *w, k=k, tile=128, interpret=True,
+            exact_self=False,
+        )
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
+
+    def test_grads_cross(self, rng):
+        # validates the duplicated-dw0 backward: the fc_delta weight
+        # gradient folds rows 3-5 onto 0-2, coordinate grads ride lanes
+        # 0-2 unchanged
+        from nsdp_tpu.ops.attention_pallas import knn_vector_attention
+
+        B, M, S, d, k = 1, 120, 30, 8, 6
+        kv = jnp.asarray(rng.randn(B, M, 3).astype(np.float32))
+        centres = jnp.asarray(rng.randn(B, S, 3).astype(np.float32))
+        qf = jnp.asarray(rng.randn(B, S, d).astype(np.float32))
+        K = jnp.asarray(rng.randn(B, M, d).astype(np.float32))
+        V = jnp.asarray(rng.randn(B, M, d).astype(np.float32))
+        w = _weights(rng, d)
+
+        ref = TestCustomVJP()._grads_ref((centres, kv, qf, K, V), w, k, False)
+
+        def loss(xyz, kv, qf, K, V, *w):
+            out = knn_vector_attention(
+                xyz, kv, qf, K, V, None, None, None, *w, k, 128, True, False
+            )
+            return jnp.sum(out * out)
+
+        got = jax.grad(loss, argnums=tuple(range(5 + 8)))(
+            centres, kv, qf, K, V, *w
+        )
+        for i, (r, g) in enumerate(zip(ref, got)):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(r), rtol=1e-3, atol=1e-4,
+                err_msg=f"grad {i}",
+            )
+
+    def test_pos_only_rejected(self, rng):
+        import pytest
+
+        xyz = jnp.asarray(rng.randn(1, 32, 3).astype(np.float32))
+        w = _weights(rng, 8)
+        with pytest.raises(ValueError, match="exact_self"):
+            fused_vector_attention(
+                xyz, xyz, None, None, None, *w, k=4, tile=128,
+                interpret=True, exact_self=False,
+            )
+
+
 def test_prefetch_gather_experiment_matches_onehot():
     """The scalar-prefetch dynamic-gather formulation (the VERDICT r3
     item-5 experiment, scripts/bench_gather_prefetch.py) produces the

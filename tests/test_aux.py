@@ -1,5 +1,6 @@
 """Aux subsystems: profiling timer, async checkpointing, padding helpers."""
 
+import pytest
 import os
 import time
 
@@ -81,6 +82,7 @@ def test_export_flow_field(tmp_path):
     assert "element edge 10" in text
 
 
+@pytest.mark.slow
 def test_encoder_intermediates_dump(tmp_path):
     """Reference ``intermediate_out_path`` debug hook
     (``model/encoder/pointransformer.py:96-135``): per-level anchor clouds
@@ -198,6 +200,7 @@ def test_bench_subprocess_orchestration(monkeypatch, capsys):
     assert calls.count("qps") == 2 and calls.count("drag_ms") == 2
 
 
+@pytest.mark.slow
 def test_watch_stats_and_wandb_watch(monkeypatch):
     """The wandb.watch equivalent (VERDICT r3 missing #2): the watch_stats
     step returns per-module param/grad norms, watch_log_dict flattens them,

@@ -12,6 +12,7 @@ from tests import torch_ref
 from tests.test_model_parity import ENC_KW, DEC_KW, _config, _enc_kw_torch
 
 
+@pytest.mark.slow
 def test_convert_cli_roundtrip(tmp_path):
     # deterministic weights: with torch's default (unseeded) init the
     # jax-vs-torch tolerance below is marginal for unlucky draws

@@ -28,6 +28,7 @@ def _write_cfg(fixture, tmp_path, **kw):
     return cfg, path
 
 
+@pytest.mark.slow
 def test_train_cli(fixture, tmp_path):
     StatsLogger.reset()
     import train as train_cli
@@ -43,6 +44,7 @@ def test_train_cli(fixture, tmp_path):
     assert any(f.startswith("modelbest_") for f in files)
 
 
+@pytest.mark.slow
 def test_test_cli(fixture, tmp_path):
     StatsLogger.reset()
     import train as train_cli
@@ -72,6 +74,7 @@ def test_test_cli(fixture, tmp_path):
     assert os.path.exists(stats)
 
 
+@pytest.mark.slow
 def test_test_cli_padded_partial_runs_fused_path(fixture, tmp_path,
                                                  monkeypatch):
     """test.py on padded partial shapes at batch>1 actually executes the
@@ -169,6 +172,7 @@ def test_shipped_configs_parse():
     assert n >= 12
 
 
+@pytest.mark.slow
 def test_run_cli_userhandle(tmp_path):
     """run.py end-to-end: mesh-only dataset, synthesized handle target."""
     import numpy as np

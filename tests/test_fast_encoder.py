@@ -41,6 +41,7 @@ def test_encode_fast_matches_flax(has_features, rng):
         )
 
 
+@pytest.mark.slow
 def test_encode_fast_no_full_sa(rng):
     kw = dict(ENC_KW, full_SA=False)
     enc = PointTransformerEncoder(**kw, has_features=False)

@@ -169,15 +169,24 @@ def test_two_process_step_matches_single_process(tmp_path):
     assert results[0]["params"] == results[1]["params"]
 
     ref_losses, ref_state = _single_process_reference()
+    # 2-proc vs 1-proc is NOT bitwise: gloo's hierarchical allreduce
+    # (4 local + cross-process) and XLA's 8-device psum sum in different
+    # orders, so step-1 losses differ at ~1e-7 and the difference
+    # amplifies through SGD-momentum + BN running stats by step 3 —
+    # measured up to 3.8e-4 relative on the SIGNED leaf sums (which are
+    # cancellation-prone: a near-zero-init bias leaf sums to ~0.01 with
+    # abs-sum ~0.02, so an 8e-6 absolute wobble reads as ~4e-4 relative).
+    # rtol=1e-3 leaves ~2.5x flake margin; real slicing/collective bugs
+    # show up at O(1).
     np.testing.assert_allclose(
-        results[0]["losses"], ref_losses, rtol=1e-5
+        results[0]["losses"], ref_losses, rtol=2e-4
     )
     for got, want in zip(results[0]["params"], _checksums(ref_state.params)):
-        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=3e-5)
     for got, want in zip(
         results[0]["batch_stats"], _checksums(ref_state.batch_stats)
     ):
-        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=3e-5)
 
 
 def test_two_process_train_cli(tmp_path):

@@ -49,6 +49,7 @@ def test_mesh_axes():
     assert mesh.shape == {"data": 4, "query": 2}
 
 
+@pytest.mark.slow
 def test_dp_train_step_matches_single_device():
     """8-way DP must match single-device bit-for-bit up to f32 reduction
     order.  SGD+momentum is used (linear in the gradient) — Adam's
@@ -89,6 +90,7 @@ def test_dp_train_step_matches_single_device():
         )
 
 
+@pytest.mark.slow
 def test_query_sharded_predict_matches():
     model = build_model(TINY)
     _, tx = optimizer_factory(TINY["training"])
@@ -116,7 +118,17 @@ def test_query_sharded_predict_matches():
     )
 
 
-@pytest.mark.parametrize("axes", [(2, 4), (1, 8), (8, 1)])
+@pytest.mark.parametrize(
+    "axes",
+    [
+        # (2, 4) is the smoke tier's one shard_map case (CLAUDE.md test
+        # tiers): it exercises both mesh axes at once; the degenerate
+        # single-axis layouts add ~2 min of interpret-mode time each
+        (2, 4),
+        pytest.param((1, 8), marks=pytest.mark.slow),
+        pytest.param((8, 1), marks=pytest.mark.slow),
+    ],
+)
 def test_sharded_fast_predict_matches_single_device(axes):
     """The fused Pallas inference path shard_map-ped over ('data','query')
     must equal its single-device result — the 8M qps/chip headline number
@@ -169,14 +181,15 @@ def _example(model_type, batch):
 @pytest.mark.parametrize(
     "model_type,fused",
     [
-        # fused custom-VJP cases run the Pallas kernels in interpreter
-        # mode — minutes each on this box, so they are smoke-excluded;
-        # the non-fused case keeps the shard_map train path in the smoke
-        # tier (CLAUDE.md test tiers)
+        # every case is minutes-scale on this box (fused cases run the
+        # Pallas kernels in interpreter mode; even the non-fused stage-2
+        # composition is ~2.5 min), so all are smoke-excluded — the smoke
+        # tier's shard_map representative is the (2, 4) fast-predict case
+        # above (CLAUDE.md test tiers)
         pytest.param("arbitrary", True, marks=pytest.mark.slow),
         pytest.param("forward", True, marks=pytest.mark.slow),
         pytest.param("backward", True, marks=pytest.mark.slow),
-        ("arbitrary", False),
+        pytest.param("arbitrary", False, marks=pytest.mark.slow),
     ],
 )
 def test_shard_map_train_step_matches_single_device(model_type, fused):

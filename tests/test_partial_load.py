@@ -7,6 +7,11 @@ import jax.numpy as jnp
 
 torch = pytest.importorskip("torch")
 
+# smoke-excluded: every case pays a full stage-2 model init/compile
+# (~20-40 s each on this box); grafting is a train-CLI startup feature,
+# covered by the full tier (CLAUDE.md test tiers)
+pytestmark = pytest.mark.slow
+
 from tests import torch_ref
 from tests.test_model_parity import DEC_KW, _config, _enc_kw_torch
 

@@ -207,12 +207,20 @@ def _tiny_config(model_type, encoder="pointransformer", fused=False, n=96):
 @pytest.mark.parametrize(
     "model_type,encoder,fused",
     [
-        ("forward", "pointransformer", False),
+        # the backward case is the smoke tier's padded-parity
+        # representative (cheapest: no composition, no fused interpret
+        # pass); the rest are 30–70 s each on this box
+        pytest.param("forward", "pointransformer", False,
+                     marks=pytest.mark.slow),
         ("backward", "pointransformer", False),
-        ("forward", "pointnet++", False),
-        ("forward", "pointransformer", True),
-        ("arbitrary", "pointransformer", False),
-        ("arbitrary", "pointransformer", True),
+        pytest.param("forward", "pointnet++", False,
+                     marks=pytest.mark.slow),
+        pytest.param("forward", "pointransformer", True,
+                     marks=pytest.mark.slow),
+        pytest.param("arbitrary", "pointransformer", False,
+                     marks=pytest.mark.slow),
+        pytest.param("arbitrary", "pointransformer", True,
+                     marks=pytest.mark.slow),
     ],
 )
 def test_model_padded_equals_compacted(rng, model_type, encoder, fused):
@@ -248,6 +256,7 @@ def test_model_padded_equals_compacted(rng, model_type, encoder, fused):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_train_step_padded_equals_compacted(rng):
     """One train step (loss + BN running stats) matches the compacted run."""
     from nsdp_tpu.models import build_model
@@ -333,6 +342,7 @@ def test_min_valid_points_from_config():
     assert T.min_valid_points({}) == 1
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("model_type", ["forward", "arbitrary"])
 def test_fast_predict_masked_equals_compacted(rng, model_type):
     """The fused inference path honours point_mask (with_mask=True)."""
@@ -364,6 +374,7 @@ def test_fast_predict_masked_equals_compacted(rng, model_type):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_serving_masked_deform(rng):
     """DeformationService.deform accepts a validity mask on the fused path."""
     from nsdp_tpu.serving import DeformationService

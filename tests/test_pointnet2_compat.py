@@ -1,5 +1,6 @@
 """pointnet2 API-compat layer: shapes and grouping semantics."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -23,6 +24,7 @@ def test_query_and_group_shapes(rng):
     assert out2.shape == (2, 8, 16, 9)
 
 
+@pytest.mark.slow
 def test_query_and_group_relative_coords(rng):
     xyz = jnp.asarray(rng.randn(1, 32, 3), jnp.float32)
     new_xyz = xyz[:, :4]
@@ -52,6 +54,7 @@ def test_sa_module(rng):
     assert new_feats.shape == (2, 32, 16)
 
 
+@pytest.mark.slow
 def test_sa_module_msg(rng):
     xyz = jnp.asarray(rng.randn(2, 64, 3), jnp.float32)
     feats = jnp.asarray(rng.randn(2, 6, 64), jnp.float32)

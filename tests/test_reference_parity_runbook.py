@@ -21,6 +21,7 @@ from nsdp_tpu.data.synthetic import generate_synthetic_dataset, synthetic_config
 from tests import torch_ref
 
 
+@pytest.mark.slow
 def test_parity_runbook_synthetic(tmp_path):
     fixture = generate_synthetic_dataset(
         str(tmp_path / "data"), n_identities=1, n_motions_per_identity=1,

@@ -1,11 +1,13 @@
 """DeformationService: bucketed numpy-in/numpy-out inference."""
 
 import numpy as np
+import pytest
 
 from nsdp_tpu.serving import DeformationService
 from tests.test_fast_predict import CFG
 
 
+@pytest.mark.slow
 def test_service_deform_shapes(rng):
     cfg = {
         "model": dict(CFG["model"]),
@@ -29,6 +31,7 @@ def test_service_deform_shapes(rng):
     assert out_big.shape == (300, 3)
 
 
+@pytest.mark.slow
 def test_service_padding_exact(rng):
     cfg = {
         "model": dict(CFG["model"]),
@@ -43,6 +46,7 @@ def test_service_padding_exact(rng):
     np.testing.assert_allclose(a[:20], b, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_service_mesh_sharded_matches_single(rng):
     """Mesh-sharded serving (fused path shard_map-ped over ('data','query'))
     equals single-device serving."""
@@ -116,6 +120,7 @@ def test_edit_session_matches_full_deform(rng, fused):
     )
 
 
+@pytest.mark.slow
 def test_edit_session_mesh_sharded(rng):
     from nsdp_tpu.parallel import make_mesh
 
@@ -133,6 +138,7 @@ def test_edit_session_mesh_sharded(rng):
     )
 
 
+@pytest.mark.slow
 def test_masked_edit_session_matches_masked_deform(rng):
     """Padded-partial conditioning runs the interactive path too: a session
     opened with point_mask drags to the same result as the masked full
@@ -154,6 +160,7 @@ def test_masked_edit_session_matches_masked_deform(rng):
     np.testing.assert_allclose(dragged, full, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_warmup_covers_whole_serving_surface(rng):
     """After warmup(masked=True, sessions=True) no serving entry compiles on
     its first real request (VERDICT r2 weak #6 / item 7): jit cache sizes
@@ -194,6 +201,7 @@ def test_edit_session_requires_arbitrary():
                          np.zeros((8, 3), np.float32))
 
 
+@pytest.mark.slow
 def test_warmup_compiles_the_shapes_requests_pad_to(rng):
     """Warmup must compile at the rounded bucket sizes (_bucket rounds to a
     multiple of the mesh's query axis), not the raw bucket sizes: a bucket

@@ -65,6 +65,7 @@ def _setup(fixture, model_type="forward"):
     return cfg, model, loader, schedule, state, steps
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("model_type", ["forward", "arbitrary"])
 def test_overfit_decreases_loss(fixture, model_type):
     cfg, model, loader, schedule, state, steps = _setup(fixture, model_type)
@@ -80,6 +81,7 @@ def test_overfit_decreases_loss(fixture, model_type):
     assert np.isfinite(float(val))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("model_type", ["forward", "backward"])
 def test_use_normals_train_step(fixture, model_type):
     """use_normals end-to-end: the dataset emits 10-channel inputs and the
@@ -109,6 +111,7 @@ def test_use_normals_train_step(fixture, model_type):
     assert np.isfinite(float(val))
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(fixture, tmp_path):
     cfg, model, loader, schedule, state, steps = _setup(fixture, "forward")
     exp_dir = str(tmp_path / "exp")
@@ -164,6 +167,7 @@ def test_lr_schedule():
     assert abs(s.get_learning_rate(401) - 1e-5) < 1e-12
 
 
+@pytest.mark.slow
 def test_test_on_batch_semantics(fixture):
     """Library equivalent of the reference test_on_batch_* closures."""
     from nsdp_tpu.training.steps import test_on_batch
@@ -183,6 +187,7 @@ def test_test_on_batch_semantics(fixture):
     assert out["verts_tgt_pred"].shape == batch["verts_src"].shape
 
 
+@pytest.mark.slow
 def test_nan_guard_skips_bad_updates(fixture):
     from nsdp_tpu.training.steps import make_steps
     from nsdp_tpu.training import optimizer_factory, create_train_state
@@ -222,6 +227,7 @@ def test_nan_guard_skips_bad_updates(fixture):
     assert changed
 
 
+@pytest.mark.slow
 def test_training_deterministic(fixture):
     """Same seed, same data order -> bitwise-identical losses."""
     losses = []
