@@ -155,24 +155,38 @@ class DataLoader:
             pool.shutdown(wait=False, cancel_futures=True)
 
 
-def split_batch(batch, batch_size=None):
+def split_batch(batch, batch_size=None, passthrough=()):
     """Per-sample views of a collated batch dict, keeping the batch dim.
 
     The reference evaluates at batch_size 1 (``test.py:81-87``); the
     TPU-native CLIs evaluate whole batches on device and then split the
     host-side batch back into per-sample dicts for the (host) metrics and
-    mesh/pointcloud writers, which operate on one pair at a time.  Arrays
-    whose leading axis is the batch axis are sliced to length-1; anything
-    else (scalars, metadata) is passed through.
+    mesh/pointcloud writers, which operate on one pair at a time.
+
+    Contract: ``collate_fn`` stacks EVERY key along a new batch axis, and
+    ``test_on_batch`` only adds batched prediction arrays — so every array
+    value here must carry the batch axis.  A value that doesn't (wrong
+    leading dim) raises instead of being silently passed through whole or
+    sliced per sample; genuinely unbatched metadata must be named in
+    ``passthrough``.
     """
     import numpy as np
 
     if batch_size is None:
         batch_size = int(np.asarray(batch["surface_samples_inputs"]).shape[0])
+    for k, v in batch.items():
+        if k in passthrough or not hasattr(v, "ndim"):
+            continue
+        if v.ndim < 1 or v.shape[0] != batch_size:
+            raise ValueError(
+                f"split_batch: {k!r} has shape {getattr(v, 'shape', None)} — "
+                f"expected leading batch axis {batch_size}; pass it in "
+                f"`passthrough` if it is genuinely unbatched"
+            )
     for i in range(batch_size):
         yield {
-            k: v[i : i + 1]
-            if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] == batch_size
-            else v
+            k: v
+            if (k in passthrough or not hasattr(v, "ndim"))
+            else v[i : i + 1]
             for k, v in batch.items()
         }

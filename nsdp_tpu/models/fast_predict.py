@@ -4,8 +4,11 @@
 ``predict(points, surface_samples_inputs)`` numerically equivalent to the
 standard eval path (``training.steps`` predict) but routing every decoder
 evaluation through :func:`nsdp_tpu.models.fast_decoder.decode_fast`, and
-encoding each conditioning cloud exactly once.  Used by serving/benchmark;
-training keeps the flax path (the fused kernel has no VJP).
+encoding each conditioning cloud exactly once.  Used by serving/benchmark.
+(Training uses the fused kernels too, via their custom VJP — see
+``ops/attention_pallas.py`` and the ``fused_attention`` config key; this
+module is only the *inference* composition, which additionally skips the
+Dekker self-delta roll on the cross-attention path.)
 
 Multi-chip: pass ``mesh`` (a ``('data','query')`` mesh from
 ``nsdp_tpu.parallel.make_mesh``) and the whole predict is ``shard_map``-ped:
@@ -47,7 +50,8 @@ def fast_predict_enabled(config) -> bool:
     )
     override = os.environ.get("NSDP_FAST_PREDICT")
     if override is not None:
-        return arch_ok and override not in ("0", "", "false")
+        falsy = ("0", "", "false", "no", "off")
+        return arch_ok and override.strip().lower() not in falsy
     return arch_ok and jax.default_backend() in ("tpu", "axon")
 
 

@@ -45,6 +45,53 @@ def test_train_cli(fixture, tmp_path):
 
 
 @pytest.mark.slow
+def test_train_cli_wandb_watch_gating(fixture, tmp_path, monkeypatch):
+    """The watch flag is derived from args+config on every process (the
+    collective-deadlock fix: watch_stats is a shard_map pmean, so all
+    processes must call it) and ``logger.log_frequency`` gates how often
+    param/grad norms are logged: epochs 0..3 with log_frequency=2 →
+    exactly 2 watch logs (epochs 0 and 2)."""
+    import sys
+    import types
+
+    StatsLogger.reset()
+    import train as train_cli
+
+    watch_logs = []
+
+    fake = types.ModuleType("wandb")
+
+    class _Hist:
+        def __init__(self, seq):
+            self.seq = list(seq)
+
+    fake.Histogram = _Hist
+    fake.login = lambda *a, **kw: None
+    fake.init = lambda *a, **kw: None
+
+    def _log(values, commit=True):
+        if any(k.startswith("param_norm/") for k in values):
+            watch_logs.append(values)
+
+    fake.log = _log
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    cfg, cfg_path = _write_cfg(fixture, tmp_path)
+    cfg["training"]["epochs"] = 4
+    cfg["logger"]["log_frequency"] = 2
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    train_cli.main([cfg_path, "--seed", "0", "--with_wandb_logger"])
+
+    assert len(watch_logs) == 2
+    assert all(
+        np.isfinite(v) for w in watch_logs for k, v in w.items()
+        if k.startswith(("param_norm/", "grad_norm/"))
+    )
+    StatsLogger.reset()
+
+
+@pytest.mark.slow
 def test_test_cli(fixture, tmp_path):
     StatsLogger.reset()
     import train as train_cli

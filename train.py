@@ -191,7 +191,16 @@ def main(argv):
     )
     state = replicate(state, mesh)
 
-    wandb_watch = False
+    # The watch flag must be identical on EVERY process: steps['watch_stats']
+    # is a global-mesh collective (shard_map pmean over 'data'), so if only
+    # process 0 called it the psum would deadlock in multi-host training.
+    # Derive it from args+config (not from WandB.instance(), which only
+    # exists on the main process); gate only the logging below.
+    wandb_watch = bool(
+        args.with_wandb_logger
+        and config.get("logger", {}).get("watch", True)
+    )
+    watch_every = config.get("logger", {}).get("log_frequency", 10)
     if args.with_wandb_logger and main_proc:
         # watch defaults ON, like the reference's wandb.watch(model)
         # (reference utils/logger.py:102-103; train.py:166-172)
@@ -200,10 +209,9 @@ def main(argv):
             model=None,
             project=config.get("logger", {}).get("project", "NSDP"),
             name=experiment_name,
-            watch=config.get("logger", {}).get("watch", True),
-            log_frequency=config.get("logger", {}).get("log_frequency", 10),
+            watch=wandb_watch,
+            log_frequency=watch_every,
         )
-        wandb_watch = WandB.instance().watch
     logger = StatsLogger.instance()
     if main_proc:
         logger.add_output_file(
@@ -242,12 +250,18 @@ def main(argv):
                 logger["steps_per_sec"].value = timer.steps_per_sec
                 logger.print_progress(epoch + 1, pb + 1, float(pl))
 
-        if wandb_watch and pending is not None:
-            # per-epoch param/grad-norm histograms (the wandb.watch
-            # equivalent): one extra grad pass on the epoch's last batch
-            logger.log_watch(*jax.device_get(
-                steps["watch_stats"](state, batch)
-            ))
+        if (
+            wandb_watch
+            and pending is not None
+            and (epoch % max(1, watch_every)) == 0
+        ):
+            # param/grad-norm histograms every `log_frequency` epochs (the
+            # wandb.watch log_freq equivalent): one extra grad pass on the
+            # epoch's last batch.  watch_stats is a mesh collective —
+            # EVERY process must call it; only process 0 logs the result.
+            watch = jax.device_get(steps["watch_stats"](state, batch))
+            if main_proc:
+                logger.log_watch(*watch)
 
         if (epoch % save_every) == 0 and main_proc:
             checkpointer.save(epoch, state, experiment_directory)
