@@ -371,7 +371,18 @@ class TransformerSetAbstraction(fnn.Module):
             # (the reference CUDA kernel's ||p||^2 <= 1e-3 skip, see ops/fps).
             fps_xyz = xyz_ng * kv_mask[..., None].astype(xyz_ng.dtype)
         fps_idx = furthest_point_sample(fps_xyz, self.npoint)
-        new_xyz = index_points(xyz, fps_idx)
+        # The reference computes new_xyz INSIDE torch.no_grad()
+        # (``model/encoder/blocks.py:282-285``): the downsampled anchor
+        # coordinates are detached, so no gradient flows into the input
+        # coordinates through anchor positions (pos encodings, later
+        # levels, decoder anchors) — only through the still-differentiable
+        # grouped_xyz neighbour gathers.  Irrelevant in stage 1 (inputs are
+        # leaves) but it changes model_canonicalize's gradients in the
+        # stage-2 composition, where the input coords are themselves
+        # network outputs.  PointNetSetAbstraction does NOT detach
+        # (``blocks.py:196-199``).  Verified against the reference's own
+        # code in tests/test_reference_code_parity.py.
+        new_xyz = index_points(xyz_ng, fps_idx)
 
         dense = lambda name: fnn.Dense(
             self.dim, use_bias=False, dtype=self.dtype, name=name

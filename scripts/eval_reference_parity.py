@@ -10,7 +10,12 @@ nonzero if any aggregate metric differs by more than ``--threshold``
 
   python scripts/eval_reference_parity.py CONFIG TORCH_PT \
       [--dataset_dir D] [--split_dir S] [--max_pairs N] \
-      [--threshold 0.01] [--out report.json] [--dry-run]
+      [--threshold 0.01] [--out report.json] [--dry-run] \
+      [--torch-side {replica,reference}]
+
+``--torch-side=reference`` runs the REFERENCE'S OWN model code (imported
+from /root/reference with its one CUDA op shimmed) as the torch side of
+the diff instead of the in-repo replica — the strongest available oracle.
 
 Run once per published model/config pair (S1 forward/backward, S2
 arbitrary).  Until egress exists, ``tests/test_reference_parity_runbook.py``
@@ -189,6 +194,24 @@ def build_torch_replica(config, torch_file):
     return model
 
 
+def build_torch_reference(config, torch_file):
+    """The torch side built from the REFERENCE'S OWN code: imports
+    ``/root/reference/model`` (CUDA FPS shimmed, see
+    ``nsdp_tpu/utils/reference_loader.py``) and loads the published file
+    through the reference's own ``build_model``
+    (``model/__init__.py:107-116``) — so the diff target is the reference
+    itself, not the replica."""
+    from nsdp_tpu.utils.reference_loader import reference_model_package
+
+    # The context only scopes sys.modules/sys.path hygiene; the built
+    # model keeps references to its (already-imported) module objects,
+    # so it stays fully usable after exit.
+    with reference_model_package() as ref:
+        model, *_ = ref.build_model(config, weight_file=torch_file)
+    model.eval()
+    return model
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("config_file", help="evaluation config YAML")
@@ -207,6 +230,14 @@ def main(argv=None):
         "--dry-run", action="store_true",
         help="validate the dataset root contract and the checkpoint key "
         "inventory, then exit without evaluating",
+    )
+    parser.add_argument(
+        "--torch-side", default="replica", choices=["replica", "reference"],
+        help="what the torch side of the metric diff runs: the in-repo "
+        "replica (tests/torch_ref.py) or the reference's OWN model code "
+        "imported from /root/reference (NSDP_REFERENCE_ROOT) with its "
+        "CUDA FPS shimmed — 'reference' makes the comparison target the "
+        "reference itself the day real data arrives",
     )
     args = parser.parse_args(argv)
 
@@ -281,9 +312,12 @@ def main(argv=None):
     test_cli.main([cfg_path, "--matmul_precision", "highest"])
     StatsLogger.reset()
 
-    # 3. pair-by-pair metric parity: torch replica vs converted JAX model
+    # 3. pair-by-pair metric parity: torch oracle vs converted JAX model
     #    through the same dataset + metric code (same metric-sampling rng)
-    tmodel = build_torch_replica(config, args.torch_file)
+    if args.torch_side == "reference":
+        tmodel = build_torch_reference(config, args.torch_file)
+    else:
+        tmodel = build_torch_replica(config, args.torch_file)
 
     Dataset = dataset_dict[config["data"]["type"]]
     ds = Dataset(
@@ -352,7 +386,7 @@ def main(argv=None):
             if j_m[k] <= 1.0:
                 agg[k][1].append(float(j_m[k]))
 
-    report = {"pairs": n_pairs, "metrics": {}}
+    report = {"pairs": n_pairs, "torch_side": args.torch_side, "metrics": {}}
     ok = True
     for k in raw:
         t_mean = float(np.mean(raw[k][0]))

@@ -133,7 +133,10 @@ class TSA(tnn.Module):
     def forward(self, xyz, points):
         B, N, C = xyz.shape
         fidx = fps_reference(xyz, self.npoint)
-        new_xyz = gather_pts(xyz, fidx)
+        # reference detaches the FPS-gathered centre coordinates (new_xyz
+        # computed inside torch.no_grad(), encoder/blocks.py:282-285); the
+        # neighbour gathers below stay differentiable
+        new_xyz = gather_pts(xyz, fidx).detach()
         idx = pairwise_sqdist(new_xyz, xyz).argsort()[:, :, : self.nneigh]
 
         pos = self.fc_delta1(gather_pts(xyz, idx) - new_xyz[:, :, None])
