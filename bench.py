@@ -12,12 +12,17 @@ driver's ``BENCH_r*.json`` catches training/interactive regressions, not
 just inference (VERDICT r2 item 6):
 
   * ``train_step_ms_stage1_b16`` — stage-1 (forward) train step, batch 16,
-    5000/5000, bf16 + fused attention (the shipped fastest config);
+    5000/5000, measured AT THE SHIPPED CONFIG: f32 compute + fused
+    attention, exactly what ``configs/deform4d/forward.yaml`` trains
+    (VERDICT r4 item 4: benchmark what ships);
   * ``train_step_ms_stage1_bwd_b16`` — same for the stage-1 *backward*
     net, whose first block is the pos-only attention site (the round-3
-    tile-256 win lives here: ~69 ms vs the forward net's ~83 ms);
+    tile-256 win lives here);
   * ``train_step_ms_stage2_b8`` — stage-2 (arbitrary) full-composition
-    step, batch 8, same config;
+    step, batch 8, same shipped config;
+  * ``*_bf16`` — the same three steps with ``compute_dtype: bfloat16``,
+    the opt-in faster path (kept for cross-round continuity with
+    BENCH_r03/r04, whose train numbers were bf16);
   * ``drag_ms`` — one edit-session handle drag (forward half only) at
     Q=65536, the interactive-editing latency.
 
@@ -36,14 +41,20 @@ be read against the same-run noise floor at a glance.  The headline also
 carries ``mfu``: analytic model FLOPs of one evaluation (XLA cost
 analysis of the flax path at the same shapes — model flops, so the fused
 kernels' one-hot gather passes count as overhead, not work) divided by
-the measured time and the 197 TF/s v5e bf16 peak.
+the measured time and the 197 TF/s v5e bf16 peak.  The FLOPs count is
+lowered in a child process on the CPU backend (model FLOPs are
+shape-determined, backend-independent) because the axon TPU plugin's
+``cost_analysis`` throws (VERDICT r4 item 2); any failure is embedded in
+the JSON as ``mfu_error`` — the driver records stdout only, so stderr
+diagnostics would be lost.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
    "spread": N, "mfu": N,
    "train_step_ms_stage1_b16": N, "train_step_ms_stage1_b16_spread": N,
-   "train_step_ms_stage1_bwd_b16": N, ...,
-   "train_step_ms_stage2_b8": N, ..., "drag_ms": N, "drag_ms_spread": N}
+   "train_step_ms_stage1_bwd_b16": N, ..., "train_step_ms_stage2_b8": N,
+   ..., "train_step_ms_stage1_b16_bf16": N, ..., "drag_ms": N,
+   "drag_ms_spread": N}
 """
 
 import json
@@ -160,6 +171,22 @@ def analytic_flops_per_eval(Q=QPS_Q, N=5000):
     return float(ca["flops"])
 
 
+def _run_flops_child():
+    """Child-process mode for ``--metric flops_per_eval``.
+
+    Forces the CPU backend BEFORE any device use (the env var is ignored
+    by the axon plugin — CLAUDE.md): the axon TPU backend's
+    ``cost_analysis`` throws, while the count itself is shape-determined
+    and backend-independent (verified identical on CPU, VERDICT r4
+    weak #1).  Lowering is abstract, so no device compute happens."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    print(json.dumps(
+        {"metric": "flops_per_eval", "value": analytic_flops_per_eval()}
+    ))
+
+
 def drag_measure(Q=QPS_Q, N=5000, K=20):
     """One edit-session drag: the forward (deform) half only, chained."""
     import jax
@@ -212,14 +239,26 @@ def _metric_fns():
             return lambda: measure() * s
         return wrap
 
+    # Headline train metrics measure the SHIPPED config (f32 compute +
+    # fused attention — no YAML under configs/ sets compute_dtype, so
+    # float32 is what a user trains); the _bf16 variants keep the opt-in
+    # fast path comparable with BENCH_r03/r04.
     return {
         "qps": qps_measure,
         "train_step_ms_stage1_b16":
-            scaled(lambda: combo_measure("bfloat16", True, 16, 8), 1e3),
+            scaled(lambda: combo_measure("float32", True, 16, 8), 1e3),
         "train_step_ms_stage1_bwd_b16":
-            scaled(lambda: combo_measure("bfloat16", True, 16, 8,
+            scaled(lambda: combo_measure("float32", True, 16, 8,
                                          model_type="backward"), 1e3),
         "train_step_ms_stage2_b8":
+            scaled(lambda: combo_measure("float32", True, 8, 8,
+                                         model_type="arbitrary"), 1e3),
+        "train_step_ms_stage1_b16_bf16":
+            scaled(lambda: combo_measure("bfloat16", True, 16, 8), 1e3),
+        "train_step_ms_stage1_bwd_b16_bf16":
+            scaled(lambda: combo_measure("bfloat16", True, 16, 8,
+                                         model_type="backward"), 1e3),
+        "train_step_ms_stage2_b8_bf16":
             scaled(lambda: combo_measure("bfloat16", True, 8, 8,
                                          model_type="arbitrary"), 1e3),
         "drag_ms": drag_measure,
@@ -235,8 +274,6 @@ def _run_one_metric(name):
     life of the process, so retrying inside the child is futile — the
     parent's per-attempt fresh subprocess IS the retry.
     """
-    import sys
-
     repeats = max(int(os.environ.get("NSDP_BENCH_REPEATS", "3")), 1)
     measure = _metric_fns()[name]()
     values = [float(measure()) for _ in range(repeats)]
@@ -247,11 +284,6 @@ def _run_one_metric(name):
         "spread": (max(values) - min(values)) / med if med else None,
         "values": values,
     }
-    if name == "qps":
-        try:
-            obj["flops_per_eval"] = analytic_flops_per_eval()
-        except Exception as e:
-            print(f"bench: cost analysis failed: {e!r}", file=sys.stderr)
     print(json.dumps(obj))
 
 
@@ -301,9 +333,13 @@ def main(argv=None):
     import sys
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--metric", choices=sorted(_metric_fns()),
+    ap.add_argument("--metric",
+                    choices=sorted(_metric_fns()) + ["flops_per_eval"],
                     help="child mode: measure one metric and exit")
     args = ap.parse_args(argv)
+    if args.metric == "flops_per_eval":
+        _run_flops_child()
+        return
     if args.metric:
         _run_one_metric(args.metric)
         return
@@ -325,6 +361,12 @@ def main(argv=None):
         "train_step_ms_stage1_bwd_b16_spread": None,
         "train_step_ms_stage2_b8": None,
         "train_step_ms_stage2_b8_spread": None,
+        "train_step_ms_stage1_b16_bf16": None,
+        "train_step_ms_stage1_b16_bf16_spread": None,
+        "train_step_ms_stage1_bwd_b16_bf16": None,
+        "train_step_ms_stage1_bwd_b16_bf16_spread": None,
+        "train_step_ms_stage2_b8_bf16": None,
+        "train_step_ms_stage2_b8_bf16_spread": None,
         "drag_ms": None,
         "drag_ms_spread": None,
     }
@@ -334,11 +376,18 @@ def main(argv=None):
     result["vs_baseline"] = round(qps / 1e6, 4)
     if qobj.get("spread") is not None:
         result["spread"] = round(qobj["spread"], 4)
-    if qobj.get("flops_per_eval"):
+    try:
+        # CPU-backend child (lowering is abstract; the axon TPU backend's
+        # cost_analysis throws — VERDICT r4 item 2).  Any failure must
+        # land in the JSON: the driver records stdout only.
+        fobj = _measure_in_subprocess("flops_per_eval", attempts, 5, 300)
         # mfu = flops/eval ÷ time/eval ÷ peak = flops/eval × qps / (Q × peak)
         result["mfu"] = round(
-            qobj["flops_per_eval"] * qps / (QPS_Q * PEAK_FLOPS), 4
+            fobj["value"] * qps / (QPS_Q * PEAK_FLOPS), 4
         )
+        result["flops_per_eval"] = fobj["value"]
+    except Exception as e:
+        result["mfu_error"] = repr(e)[:500]
 
     # Secondary metrics must not sink the headline on a flaky tunnel day,
     # but each failure is isolated (one broken path must not mask the
@@ -348,6 +397,9 @@ def main(argv=None):
         ("train_step_ms_stage1_b16", 1),
         ("train_step_ms_stage1_bwd_b16", 1),
         ("train_step_ms_stage2_b8", 1),
+        ("train_step_ms_stage1_b16_bf16", 1),
+        ("train_step_ms_stage1_bwd_b16_bf16", 1),
+        ("train_step_ms_stage2_b8_bf16", 1),
         ("drag_ms", 2),
     ):
         try:

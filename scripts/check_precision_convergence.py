@@ -1,15 +1,20 @@
 #!/usr/bin/env python
-"""Short on-chip convergence check for the XLA matmul-precision default.
+"""Short on-chip convergence check for precision/dtype knobs.
 
 Runs T real stage-1 train steps (shipped config: f32 + fused kernels) from
 a fixed init on a fixed synthetic batch and prints the loss trajectory, so
 ``--matmul_precision default`` (the CLI default since round 3) can be
-compared against ``highest`` on real hardware.  The fused kernels pin
-their own precision; this exercises the XLA (flax) side that the flag
-actually governs.
+compared against ``highest`` on real hardware, and the opt-in
+``compute_dtype: bfloat16`` activations path against the shipped f32
+(VERDICT r4 item 4: the bf16 train numbers bench.py reports as secondary
+``*_bf16`` metrics need convergence evidence of their own).  The fused
+kernels pin their own precision; ``--precision`` exercises the XLA (flax)
+side the flag actually governs, ``--compute-dtype`` the activation dtype
+of the whole step.
 
   python scripts/check_precision_convergence.py --precision default
   python scripts/check_precision_convergence.py --precision highest
+  python scripts/check_precision_convergence.py --compute-dtype bfloat16
 """
 
 import argparse
@@ -24,6 +29,8 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--precision", default="default",
                         choices=["default", "high", "highest"])
+    parser.add_argument("--compute-dtype", default="float32",
+                        choices=["float32", "bfloat16"])
     parser.add_argument("--steps", type=int, default=40)
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--every", type=int, default=5)
@@ -40,7 +47,8 @@ def main(argv=None):
     )
 
     cfg = {"model": dict(FLAGSHIP_CONFIG["model"], type="forward",
-                         fused_attention=True)}
+                         fused_attention=True,
+                         compute_dtype=args.compute_dtype)}
     model = build_model(cfg)
     _, tx = optimizer_factory({"optimizer": "Adam", "lr": 5e-4})
     steps = make_steps(model, "forward", tx)
@@ -55,8 +63,9 @@ def main(argv=None):
         state, loss = steps["train_step"](state, batch, 5e-4)
         if i % args.every == 0 or i == args.steps - 1:
             losses.append((i, round(float(loss), 6)))
-    print(json.dumps({"precision": args.precision, "batch": args.batch,
-                      "losses": losses}), flush=True)
+    print(json.dumps({"precision": args.precision,
+                      "compute_dtype": args.compute_dtype,
+                      "batch": args.batch, "losses": losses}), flush=True)
 
 
 if __name__ == "__main__":

@@ -175,8 +175,10 @@ def test_bench_subprocess_orchestration(monkeypatch, capsys):
             return FakeProc(
                 "WARNING: noise\n"
                 + _json.dumps({"metric": "qps", "value": 8.36e6,
-                               "spread": 0.0042,
-                               "flops_per_eval": 1.5e11}) + "\n")
+                               "spread": 0.0042}) + "\n")
+        if name == "flops_per_eval":
+            return FakeProc(_json.dumps(
+                {"metric": "flops_per_eval", "value": 1.5e11}) + "\n")
         if name == "drag_ms":
             raise subprocess.TimeoutExpired(cmd, 1)  # hung tunnel
         return FakeProc(_json.dumps({"metric": name, "value": 83.0,
@@ -190,14 +192,86 @@ def test_bench_subprocess_orchestration(monkeypatch, capsys):
     got = _json.loads(out)
     assert got["value"] == 8.36e6 and got["vs_baseline"] == 8.36
     assert got["spread"] == 0.0042
-    # mfu = flops/eval × qps / (Q × peak)
+    # mfu = flops/eval × qps / (Q × peak), flops from the CPU-backend child
     assert got["mfu"] == round(1.5e11 * 8.36e6 / (65536 * 197e12), 4)
+    assert "mfu_error" not in got
     assert got["train_step_ms_stage1_b16"] == 83.0
     assert got["train_step_ms_stage1_b16_spread"] == 0.02
     assert got["train_step_ms_stage2_b8"] == 83.0
+    assert got["train_step_ms_stage1_b16_bf16"] == 83.0
     assert got["drag_ms"] is None  # timed out twice, isolated
     assert got["drag_ms_spread"] is None
-    assert calls.count("qps") == 2 and calls.count("drag_ms") == 2
+
+
+def test_bench_mfu_failure_lands_in_json(monkeypatch, capsys):
+    """A failing flops child must not sink the headline AND must leave a
+    diagnosable trace in the JSON itself — the driver records stdout
+    only, so a stderr-only message is lost (VERDICT r4 item 2)."""
+    import subprocess
+    import json as _json
+    import bench
+
+    def fake_run(cmd, **kw):
+        name = cmd[cmd.index("--metric") + 1]
+        if name == "flops_per_eval":
+            return FakeProcErr()
+        return type("P", (), {
+            "stdout": _json.dumps({"metric": name, "value": 7.0,
+                                   "spread": 0.01}) + "\n",
+            "stderr": "",
+        })()
+
+    class FakeProcErr:
+        stdout = ""
+        stderr = "XlaRuntimeError: cost analysis unsupported on axon"
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setenv("NSDP_BENCH_ATTEMPTS", "1")
+    monkeypatch.setenv("NSDP_BENCH_RETRY_SLEEP", "0")
+    bench.main([])
+    got = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["value"] == 7.0
+    assert got["mfu"] is None
+    assert "cost analysis unsupported" in got["mfu_error"]
+
+
+def test_docs_numbers_match_artifacts():
+    """Every doc-quoted benchmark number must match its cited BENCH_r*
+    artifact within 2% (VERDICT r4 item 3: three rounds of doc-vs-artifact
+    drift, ended structurally by scripts/check_docs_numbers.py)."""
+    from scripts.check_docs_numbers import run
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    n_cites, errors = run(repo_root)
+    assert not errors, "\n".join(errors)
+    assert n_cites >= 10  # the convention is actually in use
+
+
+def test_docs_numbers_checker_catches_drift(tmp_path):
+    """The checker must flag a quote that contradicts its artifact, a
+    citation with no nearby number, and an unknown key — and accept a
+    magnitude-suffixed quote (8.35M vs 8352395.1)."""
+    import json as _json
+
+    from scripts.check_docs_numbers import check_file
+
+    (tmp_path / "docs").mkdir()
+    (tmp_path / "BENCH_r04.json").write_text(_json.dumps(
+        {"parsed": {"value": 8352395.1, "drag_ms": 3.0}}))
+    doc = tmp_path / "docs" / "PERFORMANCE.md"
+    doc.write_text(
+        "inference 8.35M qps (`BENCH_r04:value`)\n"        # ok, scaled
+        "drag 3.7 ms (`BENCH_r04:drag_ms`)\n"              # drifted
+        "unknown artifact key cited (`BENCH_r04:nope`)\n"  # unknown key
+        # window (60 chars) must stay inside this digit-free filler line
+        "a truly numberless line of plain filler text preceding the "
+        "citation marker placed right here (`BENCH_r04:value`)\n"
+    )
+    errors = list(check_file(str(tmp_path), "docs/PERFORMANCE.md"))
+    assert len(errors) == 3
+    assert any("3.7" in e and "drag_ms" in e for e in errors)
+    assert any("nope" in e for e in errors)
+    assert any("no quoted number" in e for e in errors)
 
 
 @pytest.mark.slow
