@@ -24,6 +24,17 @@ jax.config.update("jax_platforms", "cpu")
 # numeric parity, so tests pin f32.
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Most of the smoke tier's wall-clock is XLA re-compiling the same tiny CPU
+# programs every run; the persistent compilation cache (keyed on the full
+# HLO + compile options, so it can never serve stale code) cuts warm-run
+# time roughly in half.  Programs with host callbacks (interpret-mode
+# Pallas) skip the cache automatically.  NSDP_NO_COMPILE_CACHE=1 opts out
+# (e.g. for cold-run timing).
+if not os.environ.get("NSDP_NO_COMPILE_CACHE"):
+    _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np
 import pytest
 
@@ -34,8 +45,8 @@ def pytest_configure(config):
         "slow: heavy tests (interpret-mode fused training, torch "
         "trajectory parity, flagship-scale rehearsals, multi-process "
         "launches) excluded from the smoke tier — run the smoke tier "
-        "with `pytest -m 'not slow'` (<5 min on the 1-core box), the "
-        "full suite plain.",
+        "with `pytest -m 'not slow'` (~3.5 min warm / ~5.5 min on a "
+        "cold compile cache, 1-core box), the full suite plain.",
     )
 
 

@@ -20,7 +20,12 @@ ENC_KW = dict(
 )
 
 
-@pytest.mark.parametrize("has_features", [False, True])
+# the featureless (pos-only begin) encoder is exercised in the smoke tier
+# inside test_fast_predict_matches_flax[arbitrary] (its canonicalise net);
+# the standalone check is slow-tier (VERDICT r4 item 7)
+@pytest.mark.parametrize(
+    "has_features", [pytest.param(False, marks=pytest.mark.slow), True]
+)
 def test_encode_fast_matches_flax(has_features, rng):
     enc = PointTransformerEncoder(
         **ENC_KW, has_features=has_features, inp_feat_dim=4

@@ -39,10 +39,11 @@ def _inputs(rng, B=2, N=32, Q=20):
 @pytest.mark.parametrize(
     "model_type",
     [
-        # the forward net is structurally a subset of backward (no
-        # pos-only site) — smoke keeps the other two and saves ~20 s
+        # the arbitrary composition internally runs BOTH single nets
+        # (canonicalise + forward decode), so it alone carries the smoke
+        # signal; the standalone nets are slow-tier (VERDICT r4 item 7)
         pytest.param("forward", marks=pytest.mark.slow),
-        "backward",
+        pytest.param("backward", marks=pytest.mark.slow),
         "arbitrary",
     ],
 )

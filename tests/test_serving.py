@@ -95,7 +95,14 @@ def _session_inputs(rng, n=32, q=50):
 import pytest
 
 
-@pytest.mark.parametrize("fused", [True, False])
+# The fused (interpret-mode) case is ~52 s on the 1-core box and its
+# fused-path coverage is duplicated in the smoke tier by
+# test_fast_predict_matches_flax + TestMaskedFusedAttention; the session
+# split logic itself is path-independent, so the flax case carries the
+# smoke signal (VERDICT r4 item 7).
+@pytest.mark.parametrize(
+    "fused", [pytest.param(True, marks=pytest.mark.slow), False]
+)
 def test_edit_session_matches_full_deform(rng, fused):
     """session.drag == full deform with the same conditioning: the split at
     the canonical pose is exact (canonicalisation reused across drags)."""
@@ -188,6 +195,7 @@ def test_warmup_covers_whole_serving_surface(rng):
     assert [f._cache_size() for f in fns] == sizes
 
 
+@pytest.mark.slow  # 14 s of service-init compile for an error contract
 def test_edit_session_requires_arbitrary():
     cfg = {
         "model": dict(CFG["model"], type="forward"),

@@ -135,15 +135,31 @@ def test_checkpoint_roundtrip(fixture, tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
-def test_best_checkpoint_roundtrip(fixture, tmp_path):
-    cfg, model, loader, schedule, state, steps = _setup(fixture, "forward")
+def test_best_checkpoint_roundtrip(tmp_path):
+    # The naming/resume contract is pure tree serialization — a tiny
+    # synthetic TrainState exercises it identically to a model state at
+    # none of the two jit-init compiles this test used to pay (~36 s of
+    # the smoke tier; VERDICT r4 item 7).
+    from nsdp_tpu.training.state import TrainState
+
+    def mk(seed):
+        r = np.random.RandomState(seed)
+        return TrainState(
+            params={"enc": {"w": jnp.asarray(r.randn(4, 3))},
+                    "b": jnp.asarray(r.randn(5))},
+            batch_stats={"bn": {"mean": jnp.asarray(r.randn(3))}},
+            opt_state=(),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    state = mk(0)
     exp_dir = str(tmp_path / "exp_best")
     os.makedirs(exp_dir)
     save_best_checkpoints(12, state, exp_dir, 0.0425)
     files = os.listdir(exp_dir)
     assert any(f.startswith("modelbest_00012_") for f in files)
 
-    _, _, _, _, state2, _ = _setup(fixture, "forward")
+    state2 = mk(1)
 
     class Args:
         continue_from_epoch = 0
@@ -154,6 +170,10 @@ def test_best_checkpoint_roundtrip(fixture, tmp_path):
     assert next_epoch == 13 and abs(best - 0.0425) < 1e-6
     assert args.continue_from_epoch == 13
     for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree.leaves(state.batch_stats), jax.tree.leaves(state2.batch_stats)
+    ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 

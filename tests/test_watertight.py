@@ -122,6 +122,7 @@ def test_pipeline_poisson_method(holed_sphere, tmp_path):
     assert _boundary_edge_count(np.asarray(nfaces)) == 0
 
 
+@pytest.mark.slow  # CLI-flag plumbing variant of the core watertight test
 def test_pipeline_flag_writes_watertight(holed_sphere, tmp_path):
     """normalize_mesh_file(make_watertight=True) mirrors the shell contract:
     model_watertight.ply + normalisation computed from the remesh."""
