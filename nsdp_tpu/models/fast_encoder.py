@@ -12,7 +12,10 @@ import jax
 import jax.numpy as jnp
 
 from nsdp_tpu.ops import furthest_point_sample, index_points
-from nsdp_tpu.ops.attention_pallas import fused_vector_attention
+from nsdp_tpu.ops.attention_pallas import (
+    fused_vector_attention,
+    kv_proj_profitable,
+)
 
 
 def _dense(p, x):
@@ -50,15 +53,28 @@ def _transformer_block(p, s, xyz, feats, k, pos_only, interpret,
             kv_mask=kv_mask,
         )
     else:
-        res = fused_vector_attention(
-            xyz, xyz,
-            feats @ p["w_qs"]["kernel"],
-            feats @ p["w_ks"]["kernel"],
-            feats @ p["w_vs"]["kernel"],
-            *_mlp_weights(p["fc_delta"]), *_mlp_weights(p["fc_gamma"]),
-            k=k, interpret=interpret, compute_dtype=compute_dtype,
-            kv_mask=kv_mask,
-        )
+        wk = p["w_ks"]["kernel"]
+        if kv_proj_profitable(xyz.shape[1], feats.shape[-1], wk.shape[-1]):
+            # raw-feature gather + in-kernel K/V projection (see
+            # attention_pallas.knn_vector_attention_proj)
+            res = fused_vector_attention(
+                xyz, xyz,
+                feats @ p["w_qs"]["kernel"], None, None,
+                *_mlp_weights(p["fc_delta"]), *_mlp_weights(p["fc_gamma"]),
+                k=k, interpret=interpret, compute_dtype=compute_dtype,
+                kv_mask=kv_mask,
+                kv_feats=feats, wk=wk, wv=p["w_vs"]["kernel"],
+            )
+        else:
+            res = fused_vector_attention(
+                xyz, xyz,
+                feats @ p["w_qs"]["kernel"],
+                feats @ wk,
+                feats @ p["w_vs"]["kernel"],
+                *_mlp_weights(p["fc_delta"]), *_mlp_weights(p["fc_gamma"]),
+                k=k, interpret=interpret, compute_dtype=compute_dtype,
+                kv_mask=kv_mask,
+            )
         res = res + feats
     return _bn(p["bn"], s["bn"], res)
 
@@ -98,14 +114,27 @@ def _set_abstraction(p, s, xyz, points, npoint, k, interpret,
     # negating both coordinate sets flips the delta and keeps distances.
     nq_xyz, nkv_xyz = -new_xyz, -xyz
     delta = _mlp_weights(p["fc_delta1"])
-    K1 = points @ p["w_ks"]["kernel"]
-    V1 = points @ p["w_vs"]["kernel"]
     q1 = index_points(points @ p["w_qs"]["kernel"], fps_idx)
-    res1 = fused_vector_attention(
-        nq_xyz, nkv_xyz, q1, K1, V1, *delta, *_mlp_weights(p["fc_gamma1"]),
-        k=k, interpret=interpret, compute_dtype=compute_dtype,
-        kv_mask=kv_mask,
+    use_proj = kv_proj_profitable(
+        xyz.shape[1], points.shape[-1], p["w_ks"]["kernel"].shape[-1]
     )
+    if use_proj:
+        res1 = fused_vector_attention(
+            nq_xyz, nkv_xyz, q1, None, None,
+            *delta, *_mlp_weights(p["fc_gamma1"]),
+            k=k, interpret=interpret, compute_dtype=compute_dtype,
+            kv_mask=kv_mask, kv_feats=points,
+            wk=p["w_ks"]["kernel"], wv=p["w_vs"]["kernel"],
+        )
+    else:
+        K1 = points @ p["w_ks"]["kernel"]
+        V1 = points @ p["w_vs"]["kernel"]
+        res1 = fused_vector_attention(
+            nq_xyz, nkv_xyz, q1, K1, V1, *delta,
+            *_mlp_weights(p["fc_gamma1"]),
+            k=k, interpret=interpret, compute_dtype=compute_dtype,
+            kv_mask=kv_mask,
+        )
 
     h = _dense(p["conv1"], res1)
     h = jax.nn.relu(_bn(p["bn1"], s["bn1"], h))
@@ -113,13 +142,23 @@ def _set_abstraction(p, s, xyz, points, npoint, k, interpret,
     res1 = _bn(p["bnorm0"], s["bnorm0"], res1 + h)
 
     q2 = res1 @ p["w_qs2"]["kernel"]
-    K2 = points @ p["w_ks2"]["kernel"]
-    V2 = points @ p["w_vs2"]["kernel"]
-    res2 = fused_vector_attention(
-        nq_xyz, nkv_xyz, q2, K2, V2, *delta, *_mlp_weights(p["fc_gamma2"]),
-        k=k, interpret=interpret, compute_dtype=compute_dtype,
-        kv_mask=kv_mask,
-    )
+    if use_proj:
+        res2 = fused_vector_attention(
+            nq_xyz, nkv_xyz, q2, None, None,
+            *delta, *_mlp_weights(p["fc_gamma2"]),
+            k=k, interpret=interpret, compute_dtype=compute_dtype,
+            kv_mask=kv_mask, kv_feats=points,
+            wk=p["w_ks2"]["kernel"], wv=p["w_vs2"]["kernel"],
+        )
+    else:
+        K2 = points @ p["w_ks2"]["kernel"]
+        V2 = points @ p["w_vs2"]["kernel"]
+        res2 = fused_vector_attention(
+            nq_xyz, nkv_xyz, q2, K2, V2, *delta,
+            *_mlp_weights(p["fc_gamma2"]),
+            k=k, interpret=interpret, compute_dtype=compute_dtype,
+            kv_mask=kv_mask,
+        )
 
     out = _bn(p["bnorm1"], s["bnorm1"], res1 + res2)
     out = out + index_points(points, fps_idx)

@@ -284,12 +284,36 @@ class TransformerBlock(fnn.Module):
                     *dw, *gw, kk, 256,
                 )
             else:
+                from nsdp_tpu.ops.attention_pallas import (
+                    knn_vector_attention_proj, kv_proj_profitable,
+                )
+
                 q = fnn.Dense(self.d_model, use_bias=False, name="w_qs")(feats)
-                k_ = fnn.Dense(self.d_model, use_bias=False, name="w_ks")(feats)
-                v = fnn.Dense(self.d_model, use_bias=False, name="w_vs")(feats)
-                res = knn_vector_attention(
-                    xyz, xyz, q, k_, v, None, None, kv_mask, *dw, *gw, kk
-                ) + feats
+                if kv_proj_profitable(n, feats.shape[-1], self.d_model):
+                    # project-in-kernel K/V: gather the raw feature table
+                    # once per slot instead of separate K and V tables —
+                    # halves the dominant (T, M) gathers at large-M sites
+                    # (the forward net's featured begin block).  Same
+                    # param tree as the Dense path (DenseWeights).
+                    wk, _ = DenseWeights(
+                        self.d_model, use_bias=False, name="w_ks"
+                    )(feats.shape[-1])
+                    wv, _ = DenseWeights(
+                        self.d_model, use_bias=False, name="w_vs"
+                    )(feats.shape[-1])
+                    res = knn_vector_attention_proj(
+                        xyz, xyz, q, feats, wk, wv, kv_mask, *dw, *gw, kk
+                    ) + feats
+                else:
+                    k_ = fnn.Dense(
+                        self.d_model, use_bias=False, name="w_ks"
+                    )(feats)
+                    v = fnn.Dense(
+                        self.d_model, use_bias=False, name="w_vs"
+                    )(feats)
+                    res = knn_vector_attention(
+                        xyz, xyz, q, k_, v, None, None, kv_mask, *dw, *gw, kk
+                    ) + feats
             return BatchNorm(dtype=self.dtype, name="bn")(res, train, kv_mask)
 
         fc_delta = TwoLayerMLP(self.d_model, dtype=self.dtype, name="fc_delta")
@@ -389,7 +413,11 @@ class TransformerSetAbstraction(fnn.Module):
         )
 
         if self.fused:
-            from nsdp_tpu.ops.attention_pallas import knn_vector_attention
+            from nsdp_tpu.ops.attention_pallas import (
+                knn_vector_attention,
+                knn_vector_attention_proj,
+                kv_proj_profitable,
+            )
 
             # TSA's position delta is (neighbour - centre); negating both
             # coordinate sets flips the kernel's (query - neighbour) delta
@@ -399,6 +427,9 @@ class TransformerSetAbstraction(fnn.Module):
             g2w = TwoLayerMLPWeights(self.dim, name="fc_gamma2")(self.dim)
             kk = min(self.nneigh, xyz.shape[1])
             q1 = index_points(dense("w_qs")(points), fps_idx)
+            use_proj = kv_proj_profitable(
+                xyz.shape[1], points.shape[-1], self.dim
+            )
             # tile stays at the 128 default: 256 measured as noise at the
             # hot TSA shape (500 centres over 5000 points, k=16, batch 16:
             # 5.74 vs 5.79 ms) and 512 overruns scoped VMEM with the
@@ -406,11 +437,24 @@ class TransformerSetAbstraction(fnn.Module):
             # DID win 24% on a bf16-operand table variant of the kernel,
             # but that variant regressed end-to-end and was reverted —
             # docs/PERFORMANCE.md, "gather operand width".)
-            res1 = knn_vector_attention(
-                -new_xyz, -xyz, q1,
-                dense("w_ks")(points), dense("w_vs")(points),
-                None, None, kv_mask, *dw, *g1w, kk,
-            )
+            if use_proj:
+                # raw-feature gather + in-kernel K/V projection (one big
+                # gather per slot instead of two; DenseWeights keeps the
+                # param tree identical to the Dense path)
+                dense_w = lambda name: DenseWeights(
+                    self.dim, use_bias=False, name=name
+                )(points.shape[-1])[0]
+                res1 = knn_vector_attention_proj(
+                    -new_xyz, -xyz, q1, points,
+                    dense_w("w_ks"), dense_w("w_vs"),
+                    kv_mask, *dw, *g1w, kk,
+                )
+            else:
+                res1 = knn_vector_attention(
+                    -new_xyz, -xyz, q1,
+                    dense("w_ks")(points), dense("w_vs")(points),
+                    None, None, kv_mask, *dw, *g1w, kk,
+                )
             h = fnn.Dense(self.dim, dtype=self.dtype, name="conv1")(res1)
             h = fnn.relu(BatchNorm(dtype=self.dtype, name="bn1")(h, train))
             h = fnn.Dense(self.dim, dtype=self.dtype, name="conv2")(h)
@@ -418,11 +462,18 @@ class TransformerSetAbstraction(fnn.Module):
             q2 = fnn.Dense(
                 self.dim, use_bias=False, dtype=self.dtype, name="w_qs2"
             )(res1)
-            res2 = knn_vector_attention(
-                -new_xyz, -xyz, q2,
-                dense("w_ks2")(points), dense("w_vs2")(points),
-                None, None, kv_mask, *dw, *g2w, kk,
-            )
+            if use_proj:
+                res2 = knn_vector_attention_proj(
+                    -new_xyz, -xyz, q2, points,
+                    dense_w("w_ks2"), dense_w("w_vs2"),
+                    kv_mask, *dw, *g2w, kk,
+                )
+            else:
+                res2 = knn_vector_attention(
+                    -new_xyz, -xyz, q2,
+                    dense("w_ks2")(points), dense("w_vs2")(points),
+                    None, None, kv_mask, *dw, *g2w, kk,
+                )
             new_points = BatchNorm(dtype=self.dtype, name="bnorm1")(
                 res1 + res2, train
             )

@@ -35,4 +35,5 @@ __all__ = [
 # direct use):
 #   nsdp_tpu.ops.fps_pallas.furthest_point_sample_pallas
 #   nsdp_tpu.ops.knn_pallas.knn_pallas
-#   nsdp_tpu.ops.attention_pallas.{fused_vector_attention, knn_vector_attention}
+#   nsdp_tpu.ops.attention_pallas.{fused_vector_attention,
+#       knn_vector_attention, knn_vector_attention_proj}

@@ -27,6 +27,19 @@ one matmul.  Per slot this is 2 instead of 3 gathers forward, and 4 instead
 of 6 gather/scatter matmuls backward — exact same arithmetic per column,
 just fewer MXU passes.
 
+Project-in-kernel K/V (round 5): at sites where K and V are bias-free
+projections of the SAME kv feature tensor (every encoder featured site,
+reference ``model/encoder/blocks.py`` ``w_ks``/``w_vs``), the kernel can
+instead gather the RAW feature table ``[kv_xyz (8) | feats (F)]`` once per
+slot and compute ``k_n = f_n @ wk`` / ``v_n = f_n @ wv`` in VMEM with small
+(T, F) x (F, D) dots — ONE (T, M)-scale gather per slot forward and ONE
+packed ``[d_xyz | d_feats]`` scatter backward (dwk/dwv accumulate
+in-kernel), plus HALF the saved-residual width (``[dx | f_n]`` re-derives
+everything else).  At F == D == 120 that halves the dominant MXU cost of
+the featured begin block.  Profitable when the raw-feature table packs no
+wider than the K table did and M amortises the in-kernel projections —
+``kv_proj_profitable``; small-M sites keep the projected-table path.
+
 Gather operand width — bf16 TABLE dtype measured and REJECTED (round 3):
 an explicit bf16 cast of the packed table is 1.76x faster per gather in
 isolation (0.93 -> 0.53 ms at T=128/M=5120/W=256), but end-to-end it
@@ -106,10 +119,15 @@ def _mlp2(x, w0, b0, w1, b1):
     return jnp.dot(h.astype(w1.dtype), w1, precision=_DOT_PREC, preferred_element_type=_F32) + b1
 
 
-def _res_lanes(k: int, d: int, pos_only: bool) -> int:
+def _res_lanes(k: int, d: int, pos_only: bool, proj_f: int = 0) -> int:
     """Lane width of the saved-residuals block (see _attn_kernel)."""
     if pos_only:
         return _round_up(8 * k, 128)  # k packed dx blocks
+    if proj_f:
+        # project-in-kernel mode: k_n/v_n/pos/u/val are all re-derivable
+        # from [dx | f_n] with small (T, D) matmuls — HALF the residual
+        # width (and HBM traffic) of the projected-table mode at F == D.
+        return k * _round_up(8 + proj_f, 128)  # per-slot [dx | f_n]
     return k * _round_up(8 + 2 * d, 128)  # per-slot [dx | u | val]
 
 
@@ -121,7 +139,7 @@ def _attn_kernel(
     idx_ref=None,
     res_ref=None,
     *, k: int, m_valid: int, pos_only: bool, has_global: bool,
-    exact_self: bool = True,
+    exact_self: bool = True, proj_f: int = 0,
 ):
     xyzq = xyzq_ref[0]  # (T, 8)
     kvt = kvt_ref[0]  # (8, Mpad) transposed kv coords
@@ -137,7 +155,20 @@ def _attn_kernel(
 
     if not pos_only:
         q = q_ref[0]  # (T, D)
-        V_a = v_ref[0]
+        if proj_f:
+            # project-in-kernel mode: the packed table carries RAW kv
+            # features [coords8 | feats F]; K/V are computed per slot from
+            # the gathered rows with small (T, Wf) x (Wf, D) dots.  The
+            # glob slot carries the stacked projection weights, each
+            # zero-padded to Wf rows so the UNSLICED rolled gather row can
+            # feed the dot (junk lanes — wrapped coords, table padding —
+            # hit zero rows).  Halves the (T, M)-scale gathers per slot.
+            wf = xk.shape[-1]
+            wstack = glob_ref[0]  # (2*Wf, D): wk rows 0:Wf, wv rows Wf:2Wf
+            wk_p = wstack[:wf]
+            wv_p = wstack[wf:2 * wf]
+        else:
+            V_a = v_ref[0]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (T, M), 1)
     # Row 3 of the transposed kv layout carries the optional kv_mask
@@ -195,6 +226,22 @@ def _attn_kernel(
             value = pos
             if res_ref is not None:
                 res_blocks.append(dx)
+        elif proj_f:
+            f_roll = _roll_left(gath, 8)  # (T, Wf): feats | zeros | coords
+            k_n = jnp.dot(f_roll.astype(wk_p.dtype), wk_p,
+                          precision=_DOT_PREC, preferred_element_type=_F32)
+            v_n = jnp.dot(f_roll.astype(wv_p.dtype), wv_p,
+                          precision=_DOT_PREC, preferred_element_type=_F32)
+            u = q - k_n + pos
+            logits = _mlp2(u, gw0, gb0, gw1, gb1)
+            value = v_n + pos
+            if res_ref is not None:
+                # [dx | f_n] — everything else re-derivable (see _res_lanes)
+                blk = _round_up(8 + proj_f, 128)
+                res_blocks.append(_pad_lanes(
+                    jnp.concatenate([dx, f_roll[:, :proj_f]], axis=-1),
+                    blk,
+                ))
         else:
             k_n = _roll_left(gath, 8)[:, :D]
             v_n = jnp.dot(
@@ -250,7 +297,7 @@ def _attn_bwd_kernel(
     dxyzq_ref, dxk_ref, dq_ref, dv_out_ref, dglob_ref,
     ddw0_ref, ddb0_ref, ddw1_ref, ddb1_ref,
     dgw0_ref, dgb0_ref, dgw1_ref, dgb1_ref,
-    *, k: int, pos_only: bool, has_global: bool,
+    *, k: int, pos_only: bool, has_global: bool, proj_f: int = 0,
 ):
     """Backward of the fused attention.
 
@@ -261,7 +308,13 @@ def _attn_bwd_kernel(
     packed scatter matmul per slot (``dxk = [d_kv_xyz (8) | dK (D)]``) plus
     the dV scatter.  Per-tile query gradients write directly; kv-side and
     weight gradients accumulate across grid steps (their output windows
-    revisit, Mosaic keeps them resident)."""
+    revisit, Mosaic keeps them resident).
+
+    ``proj_f`` (project-in-kernel mode): residuals are ``[dx | f_n]``, the
+    glob slot carries the stacked ``wk/wv`` projection weights, and the two
+    per-slot (T, M) scatters collapse into ONE packed
+    ``[d_kv_xyz (8) | d_feats (F)]`` scatter; ``dwk``/``dwv`` accumulate
+    in-kernel (they take the dv/dglob output slots)."""
     b = pl.program_id(0)
     t = pl.program_id(1)
     first_tile = t == 0
@@ -282,12 +335,18 @@ def _attn_bwd_kernel(
 
     if not pos_only:
         qf = q_ref[0]
+    if proj_f:
+        wf = _round_up(8 + proj_f, 128)
+        wstack = glob_ref[0]  # (2*Wf, D)
+        wk_p = wstack[:wf]
+        wv_p = wstack[wf:2 * wf]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (T, M), 1)
 
     # ---- pass 1: unpack residuals, re-derive small intermediates ----------
     idxs, dxs, hds, us, hgs, vals, logits_all = [], [], [], [], [], [], []
-    blk = _round_up(8 + 2 * D, 128)
+    frs = []  # proj mode: per-slot rolled [f_n | 0 | dx] residual rows
+    blk = _round_up(8 + proj_f, 128) if proj_f else _round_up(8 + 2 * D, 128)
     for j in range(k):
         idx = idx_in[:, j : j + 1]
         if pos_only:
@@ -298,6 +357,21 @@ def _attn_bwd_kernel(
             pos = jnp.dot(hd, dw1, precision=_DOT_PREC, preferred_element_type=_F32) + db1
             u = pos
             val = pos
+        elif proj_f:
+            blk_j = res[:, j * blk : (j + 1) * blk]
+            dx = blk_j[:, :8]
+            # rolled row [f_n | zeros | dx]: feeds the wk/wv dots directly
+            # (their rows beyond F are zero) and the dwk/dwv accumulators
+            f_roll = _roll_left(blk_j, 8)
+            hd = jnp.maximum(
+                jnp.dot(dx, dw0, precision=_DOT_PREC, preferred_element_type=_F32) + db0, 0.0
+            )
+            pos = jnp.dot(hd, dw1, precision=_DOT_PREC, preferred_element_type=_F32) + db1
+            k_n = jnp.dot(f_roll, wk_p, precision=_DOT_PREC, preferred_element_type=_F32)
+            v_n = jnp.dot(f_roll, wv_p, precision=_DOT_PREC, preferred_element_type=_F32)
+            u = qf - k_n + pos
+            val = v_n + pos
+            frs.append(f_roll)
         else:
             blk_j = res[:, j * blk : (j + 1) * blk]
             dx = blk_j[:, :8]
@@ -340,12 +414,23 @@ def _attn_bwd_kernel(
     attn = [e / s for e in exps]
 
     # ---- pass 2: gradients -------------------------------------------------
-    # init accumulated outputs on first visit
-    @pl.when(first_tile)
-    def _():
-        dxk_ref[0] = jnp.zeros_like(dxk_ref[0])
-        dv_out_ref[0] = jnp.zeros_like(dv_out_ref[0])
-        dglob_ref[0] = jnp.zeros_like(dglob_ref[0])
+    # init accumulated outputs on first visit (in proj mode the dv/dglob
+    # slots hold the GLOBAL dwk/dwv accumulators — zero once, not per-b)
+    if proj_f:
+        @pl.when(first_tile)
+        def _():
+            dxk_ref[0] = jnp.zeros_like(dxk_ref[0])
+
+        @pl.when(first_all)
+        def _():
+            dv_out_ref[0] = jnp.zeros_like(dv_out_ref[0])
+            dglob_ref[0] = jnp.zeros_like(dglob_ref[0])
+    else:
+        @pl.when(first_tile)
+        def _():
+            dxk_ref[0] = jnp.zeros_like(dxk_ref[0])
+            dv_out_ref[0] = jnp.zeros_like(dv_out_ref[0])
+            dglob_ref[0] = jnp.zeros_like(dglob_ref[0])
 
     @pl.when(first_all)
     def _():
@@ -376,7 +461,10 @@ def _attn_bwd_kernel(
     dgw1_a = jnp.zeros_like(dgw1_ref[0])
     dgb1_a = jnp.zeros_like(dgb1_ref[0])
     dxk_acc = jnp.zeros_like(dxk_ref[0])
-    if not pos_only:
+    if proj_f:
+        dwk_a = jnp.zeros_like(dv_out_ref[0])  # (Wf, D); rows >= F sliced off
+        dwv_a = jnp.zeros_like(dglob_ref[0])
+    elif not pos_only:
         dv_acc = jnp.zeros_like(dv_out_ref[0])
 
     def mlp_bwd(dy, x, h, w0, w1):
@@ -426,6 +514,33 @@ def _attn_bwd_kernel(
 
         dxyzq_acc = dxyzq_acc + ddx
         onehot = (lane == idxs[j]).astype(_F32)
+        if proj_f:
+            # dk_n = -du (u = q - k_n + pos), dv_n = dval; weight grads
+            # accumulate in-kernel, the feature grad rides the ONE packed
+            # scatter [-ddx into d_kv_xyz | df into d_feats]
+            dk_n = -du
+            dv_n = dval
+            dwk_a += jax.lax.dot_general(
+                frs[j], dk_n, (((0,), (0,)), ((), ())),
+                precision=_DOT_PREC, preferred_element_type=_F32,
+            )
+            dwv_a += jax.lax.dot_general(
+                frs[j], dv_n, (((0,), (0,)), ((), ())),
+                precision=_DOT_PREC, preferred_element_type=_F32,
+            )
+            df_roll = jax.lax.dot_general(
+                dk_n, wk_p, (((1,), (1,)), ((), ())),
+                precision=_DOT_PREC, preferred_element_type=_F32,
+            ) + jax.lax.dot_general(
+                dv_n, wv_p, (((1,), (1,)), ((), ())),
+                precision=_DOT_PREC, preferred_element_type=_F32,
+            )  # (T, Wf), lanes >= F zero (zero weight rows)
+            scat = _roll_left(df_roll, W - 8) - _pad_lanes(ddx, W)
+            dxk_acc = dxk_acc + jax.lax.dot_general(
+                onehot, scat, (((0,), (0,)), ((), ())),
+                precision=_DOT_PREC, preferred_element_type=_F32,
+            )
+            continue
         # one packed scatter: [-ddx into d_kv_xyz | -du into dK]
         if pos_only:
             scat = ddx
@@ -463,7 +578,11 @@ def _attn_bwd_kernel(
         dglob_ref[0] += dglob_acc
 
     dxyzq_ref[0] = dxyzq_acc
-    if not pos_only:
+    if proj_f:
+        dq_ref[0] = dq_acc
+        dv_out_ref[0] += dwk_a
+        dglob_ref[0] += dwv_a
+    elif not pos_only:
         dq_ref[0] = dq_acc
         dv_out_ref[0] += dv_acc
     else:
@@ -563,6 +682,9 @@ def fused_vector_attention(
     kv_mask: Optional[jax.Array] = None,
     save_residuals: bool = False,
     exact_self: bool = True,
+    kv_feats: Optional[jax.Array] = None,
+    wk: Optional[jax.Array] = None,
+    wv: Optional[jax.Array] = None,
 ):
     """Fused kNN vector attention (pre-residual, pre-norm).
 
@@ -582,6 +704,16 @@ def fused_vector_attention(
       save_residuals: additionally return the packed per-slot residuals
         ``[dx | u | val]`` the Pallas backward consumes (requires
         return_idx; used by the custom-VJP training path).
+      kv_feats / wk / wv: project-in-kernel mode (replaces K_a/V_a).
+        ``kv_feats`` is the RAW (B, M, F) kv feature tensor and ``wk``/
+        ``wv`` the (F, D) bias-free key/value projection kernels; the
+        kernel gathers ONE packed ``[coords | feats]`` table per slot and
+        projects K/V in-VMEM with small (T, F) x (F, D) dots — halving the
+        dominant (T, M)-scale gather matmuls whenever
+        ``round_up(8+F,128) < round_up(8+D,128) + round_up(D,128)``.
+        Requires ``q_feats``; mutually exclusive with K_a/V_a and the
+        global token; ``exact_self`` must stay True (the proj sites are
+        the encoder's self-attention / set-abstraction blocks).
       exact_self: preserve the EXACT zero of a self-attention query's
         delta to itself (the roll reconstruction — see ``_attn_kernel``).
         Required whenever a query can coincide with a kv point (encoder
@@ -604,8 +736,20 @@ def fused_vector_attention(
     k = min(k, M)
     pos_only = q_feats is None
     has_global = k_glob is not None
+    proj = kv_feats is not None
     if has_global and pos_only:
         raise ValueError("global token requires query features")
+    if proj:
+        if (wk is None) or (wv is None):
+            raise ValueError("kv_feats requires wk and wv")
+        if pos_only or K_a is not None or V_a is not None or has_global:
+            raise ValueError(
+                "project-in-kernel mode replaces K_a/V_a and excludes the "
+                "global token"
+            )
+        if not exact_self:
+            raise ValueError("project-in-kernel mode requires exact_self")
+    proj_f = kv_feats.shape[-1] if proj else 0
     if pos_only and not exact_self:
         # pos_only is only used by self-attention sites; refuse a footgun
         raise ValueError("exact_self=False requires query features "
@@ -629,11 +773,18 @@ def fused_vector_attention(
         from nsdp_tpu.ops.knn import mask_penalty
 
         kvt = kvt.at[:, 3, :].set(mask_penalty(kv_mask, m_pad))
-    xk, w_lanes = _pack_xk(kv_xyz, None if pos_only else K_a, m_pad)
+    if proj:
+        xk, w_lanes = _pack_xk(kv_xyz, kv_feats, m_pad)
+    else:
+        xk, w_lanes = _pack_xk(kv_xyz, None if pos_only else K_a, m_pad)
     if pos_only:
         qf = jnp.zeros((B, q_pad, 1), _F32)
         V_p = jnp.zeros((B, m_pad, 1), _F32)
         feat_d = 1
+    elif proj:
+        qf = jnp.pad(q_feats.astype(_F32), ((0, 0), (0, q_pad - Nq), (0, 0)))
+        V_p = jnp.zeros((B, m_pad, 1), _F32)  # unused in proj mode
+        feat_d = D
     else:
         qf = jnp.pad(q_feats.astype(_F32), ((0, 0), (0, q_pad - Nq), (0, 0)))
         V_p = jnp.pad(cast(V_a), ((0, 0), (0, m_pad - M), (0, 0)))
@@ -656,11 +807,23 @@ def fused_vector_attention(
         memory_space=pltpu.VMEM,
     )
 
-    if has_global:
+    if proj:
+        # glob slot carries the stacked K/V projection weights, each
+        # zero-padded to the packed-table lane width (see _attn_kernel)
+        wk_p = jnp.pad(cast(wk), ((0, w_lanes - proj_f), (0, 0)))
+        wv_p = jnp.pad(cast(wv), ((0, w_lanes - proj_f), (0, 0)))
+        glob = jnp.concatenate([wk_p, wv_p], axis=0)[None]  # (1, 2*Wf, D)
+        glob_spec = pl.BlockSpec(
+            (1, 2 * w_lanes, D), lambda b, t: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    elif has_global:
         glob = jnp.stack([k_glob, v_glob], axis=1).astype(_F32)
         glob = jnp.pad(glob, ((0, 0), (0, 6), (0, 0)))  # (B, 8, D)
+        glob_spec = None
     else:
         glob = jnp.zeros((B, 8, feat_d), _F32)
+        glob_spec = None
 
     out_shape = [jax.ShapeDtypeStruct((B, q_pad, D), _F32)]
     out_spec = [pl.BlockSpec(
@@ -673,7 +836,7 @@ def fused_vector_attention(
             (1, tile, kpad), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
         ))
     if save_residuals:
-        r_lanes = _res_lanes(k, D, pos_only)
+        r_lanes = _res_lanes(k, D, pos_only, proj_f)
         out_shape.append(jax.ShapeDtypeStruct((B, q_pad, r_lanes), _F32))
         out_spec.append(pl.BlockSpec(
             (1, tile, r_lanes), lambda b, t: (b, t, 0),
@@ -683,7 +846,7 @@ def fused_vector_attention(
     out = pl.pallas_call(
         partial(
             _attn_kernel, k=k, m_valid=M, pos_only=pos_only,
-            has_global=has_global, exact_self=exact_self,
+            has_global=has_global, exact_self=exact_self, proj_f=proj_f,
         ),
         out_shape=tuple(out_shape) if len(out_shape) > 1 else out_shape[0],
         grid=(B, n_tiles),
@@ -694,8 +857,8 @@ def fused_vector_attention(
             per_b((1, m_pad, w_lanes)),
             pl.BlockSpec((1, tile, feat_d), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
-            per_b((1, m_pad, feat_d)),
-            per_b((1, 8, feat_d)),
+            per_b((1, m_pad, V_p.shape[-1])),
+            glob_spec if glob_spec is not None else per_b((1, 8, feat_d)),
             const((1, 8, D)),
             const((1, 1, D)),
             const((1, D, D)),
@@ -731,6 +894,9 @@ def _fused_attention_bwd(
     k_glob=None,
     v_glob=None,
     exact_self: bool = True,
+    kv_feats=None,
+    wk=None,
+    wv=None,
 ):
     """Pallas backward pass; returns grads for every differentiable input.
 
@@ -739,7 +905,11 @@ def _fused_attention_bwd(
     xyz_q / kv_xyz / K_a / V_a arguments only provide shapes).
     ``exact_self`` must match the forward call: with False the saved
     residual is the raw split delta and ``dw0`` rides duplicated, so the
-    fc_delta weight gradient folds rows 3-5 back onto 0-2."""
+    fc_delta weight gradient folds rows 3-5 back onto 0-2.
+
+    In project-in-kernel mode (``kv_feats``/``wk``/``wv`` given — must
+    match the forward call) the returned tuple is
+    ``(dxyzq, dkv_xyz, dq, dkv_feats, dwk, dwv, ddw0.., dgb1)``."""
     interpret = _resolve_interpret(interpret)
     B, Nq, _ = xyz_q.shape
     M = kv_xyz.shape[1]
@@ -747,12 +917,17 @@ def _fused_attention_bwd(
     k = min(k, M)
     pos_only = q_feats is None
     has_global = k_glob is not None
+    proj = kv_feats is not None
+    proj_f = kv_feats.shape[-1] if proj else 0
 
     tile = min(tile, _round_up(Nq, 128))
     q_pad = _round_up(Nq, tile)
     m_pad = _round_up(M, 128)
     n_tiles = q_pad // tile
-    w_lanes = 8 if pos_only else _round_up(8 + D, 128)
+    if proj:
+        w_lanes = _round_up(8 + proj_f, 128)
+    else:
+        w_lanes = 8 if pos_only else _round_up(8 + D, 128)
     r_lanes = res.shape[-1]
 
     g_p = jnp.pad(g.astype(_F32), ((0, 0), (0, q_pad - Nq), (0, 0)))
@@ -788,18 +963,35 @@ def _fused_attention_bwd(
         (1, tile, width), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
     )
 
-    if has_global:
-        glob = jnp.stack([k_glob, v_glob], axis=1).astype(_F32)
-        glob = jnp.pad(glob, ((0, 0), (0, 6), (0, 0)))
+    if proj:
+        wk_p = jnp.pad(wk.astype(_F32), ((0, w_lanes - proj_f), (0, 0)))
+        wv_p = jnp.pad(wv.astype(_F32), ((0, w_lanes - proj_f), (0, 0)))
+        glob = jnp.concatenate([wk_p, wv_p], axis=0)[None]  # (1, 2*Wf, D)
+        glob_in_spec = const((1, 2 * w_lanes, D))
+        # the dv/dglob output slots carry the GLOBAL dwk/dwv accumulators
+        # (rows >= F are junk from the wrapped-coord lanes, sliced below)
+        dv_shape = jax.ShapeDtypeStruct((1, w_lanes, D), _F32)
+        dv_spec = const((1, w_lanes, D))
+        dglob_shape = jax.ShapeDtypeStruct((1, w_lanes, D), _F32)
+        dglob_spec = const((1, w_lanes, D))
     else:
-        glob = jnp.zeros((B, 8, feat_d), _F32)
+        if has_global:
+            glob = jnp.stack([k_glob, v_glob], axis=1).astype(_F32)
+            glob = jnp.pad(glob, ((0, 0), (0, 6), (0, 0)))
+        else:
+            glob = jnp.zeros((B, 8, feat_d), _F32)
+        glob_in_spec = per_b((1, 8, feat_d))
+        dv_shape = jax.ShapeDtypeStruct((B, m_pad, feat_d), _F32)
+        dv_spec = per_b((1, m_pad, feat_d))
+        dglob_shape = jax.ShapeDtypeStruct((B, 8, feat_d), _F32)
+        dglob_spec = per_b((1, 8, feat_d))
 
     out_shapes = (
         jax.ShapeDtypeStruct((B, q_pad, 8), _F32),        # dxyzq
         jax.ShapeDtypeStruct((B, m_pad, w_lanes), _F32),  # dxk packed
         jax.ShapeDtypeStruct((B, q_pad, feat_d), _F32),   # dq
-        jax.ShapeDtypeStruct((B, m_pad, feat_d), _F32),   # dV
-        jax.ShapeDtypeStruct((B, 8, feat_d), _F32),       # dglob
+        dv_shape,                                         # dV | dwk (proj)
+        dglob_shape,                                      # dglob | dwv (proj)
         jax.ShapeDtypeStruct((1, 8, D), _F32),            # ddw0
         jax.ShapeDtypeStruct((1, 1, D), _F32),            # ddb0
         jax.ShapeDtypeStruct((1, D, D), _F32),            # ddw1
@@ -813,8 +1005,8 @@ def _fused_attention_bwd(
         per_tile(8),
         per_b((1, m_pad, w_lanes)),
         per_tile(feat_d),
-        per_b((1, m_pad, feat_d)),
-        per_b((1, 8, feat_d)),
+        dv_spec,
+        dglob_spec,
         const((1, 8, D)),
         const((1, 1, D)),
         const((1, D, D)),
@@ -827,12 +1019,12 @@ def _fused_attention_bwd(
 
     outs = pl.pallas_call(
         partial(_attn_bwd_kernel, k=k, pos_only=pos_only,
-                has_global=has_global),
+                has_global=has_global, proj_f=proj_f),
         out_shape=out_shapes,
         grid=(B, n_tiles),
         in_specs=[
             per_tile(feat_d),
-            per_b((1, 8, feat_d)),
+            glob_in_spec,
             const((1, 8, D)),
             const((1, 1, D)),
             const((1, D, D)),
@@ -863,6 +1055,17 @@ def _fused_attention_bwd(
     # (rows 0-2 accumulated (xyzq−hi)ᵀdz, rows 3-5 accumulated (−lo)ᵀdz —
     # their sum is the true dxᵀdz).
     ddw0_f = ddw0[0, :3] if exact_self else ddw0[0, :3] + ddw0[0, 3:6]
+    if proj:
+        return (
+            dxyzq[:, :Nq, :3],
+            dxk[:, :M, :3],
+            dq[:, :Nq],
+            dxk[:, :M, 8 : 8 + proj_f],  # d kv_feats
+            dV[0, :proj_f],              # dwk (junk rows >= F sliced off)
+            dglob[0, :proj_f],           # dwv
+            ddw0_f, ddb0[0, 0], ddw1[0], ddb1[0, 0],
+            dgw0[0], dgb0[0, 0], dgw1[0], dgb1[0, 0],
+        )
     grads = (
         # the hi table entries are the pass-through of the kv coordinate
         # (lo has zero derivative under the cast-is-identity convention),
@@ -955,3 +1158,105 @@ def _kva_bwd(k, tile, interpret, exact_self, residuals, g):
 
 
 knn_vector_attention.defvjp(_kva_fwd, _kva_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17))
+def knn_vector_attention_proj(
+    xyz_q, kv_xyz, q_feats, kv_feats, wk, wv, kv_mask,
+    delta_w0, delta_b0, delta_w1, delta_b1,
+    gamma_w0, gamma_b0, gamma_w1, gamma_b1,
+    k: int, tile: int = 128, interpret: bool = None,
+):
+    """Differentiable fused kNN vector attention, project-in-kernel mode.
+
+    Same attention semantics as :func:`knn_vector_attention` with
+    ``K_a = kv_feats @ wk`` and ``V_a = kv_feats @ wv`` (the reference's
+    bias-free ``w_ks``/``w_vs`` projections, ``model/encoder/blocks.py``),
+    but the kernel gathers the RAW feature table once per slot and projects
+    K/V in VMEM — one (T, M)-scale gather matmul per slot forward and one
+    packed scatter backward instead of two of each, plus HALF the saved
+    residual traffic.  The win requires the raw feature width F to pack
+    next to the coords no wider than the K table did (F == D sites); use
+    :func:`kv_proj_profitable` for the call-site decision.  Always
+    ``exact_self`` (the proj sites are self-attention / set-abstraction),
+    no global token."""
+    return fused_vector_attention(
+        xyz_q, kv_xyz, q_feats, None, None,
+        delta_w0, delta_b0, delta_w1, delta_b1,
+        gamma_w0, gamma_b0, gamma_w1, gamma_b1,
+        k=k, tile=tile, interpret=interpret, kv_mask=kv_mask,
+        kv_feats=kv_feats, wk=wk, wv=wv,
+    )
+
+
+def _kva_proj_fwd(
+    xyz_q, kv_xyz, q_feats, kv_feats, wk, wv, kv_mask,
+    delta_w0, delta_b0, delta_w1, delta_b1,
+    gamma_w0, gamma_b0, gamma_w1, gamma_b1,
+    k, tile, interpret,
+):
+    out, idx, res = fused_vector_attention(
+        xyz_q, kv_xyz, q_feats, None, None,
+        delta_w0, delta_b0, delta_w1, delta_b1,
+        gamma_w0, gamma_b0, gamma_w1, gamma_b1,
+        k=k, tile=tile, interpret=interpret, kv_mask=kv_mask,
+        kv_feats=kv_feats, wk=wk, wv=wv,
+        return_idx=True, save_residuals=True,
+    )
+    residuals = (
+        xyz_q, kv_xyz, q_feats, kv_feats, wk, wv, kv_mask,
+        delta_w0, delta_b0, delta_w1, delta_b1,
+        gamma_w0, gamma_b0, gamma_w1, gamma_b1, idx, res,
+    )
+    return out, residuals
+
+
+def _kva_proj_bwd(k, tile, interpret, residuals, g):
+    (xyz_q, kv_xyz, q_feats, kv_feats, wk, wv, kv_mask,
+     delta_w0, delta_b0, delta_w1, delta_b1,
+     gamma_w0, gamma_b0, gamma_w1, gamma_b1, idx, res) = residuals
+    (dxyzq, dkvxyz, dq, dkv_feats, dwk, dwv,
+     ddw0, ddb0, ddw1, ddb1, dgw0, dgb0, dgw1, dgb1) = _fused_attention_bwd(
+        xyz_q, kv_xyz, q_feats, None, None,
+        delta_w0, delta_b0, delta_w1, delta_b1,
+        gamma_w0, gamma_b0, gamma_w1, gamma_b1,
+        g, idx, res, k=k, tile=tile, interpret=interpret,
+        kv_feats=kv_feats, wk=wk, wv=wv,
+    )
+    if kv_mask is None:
+        dkv_mask = None
+    elif jnp.issubdtype(kv_mask.dtype, jnp.floating):
+        dkv_mask = jnp.zeros_like(kv_mask)
+    else:
+        dkv_mask = jnp.zeros(kv_mask.shape, dtype=jax.dtypes.float0)
+    # custom_vjp cotangents must match the primal dtypes: unlike the
+    # projected-table path (whose K_a/V_a inputs are flax-promoted to f32),
+    # kv_feats/q_feats arrive in the model's compute dtype (bf16 under
+    # ``compute_dtype: bfloat16``) while the kernel emits f32 grads.
+    cast_to = lambda g, p: g.astype(p.dtype)
+    return (
+        cast_to(dxyzq, xyz_q), cast_to(dkvxyz, kv_xyz),
+        cast_to(dq, q_feats), cast_to(dkv_feats, kv_feats),
+        cast_to(dwk, wk), cast_to(dwv, wv), dkv_mask,
+        cast_to(ddw0, delta_w0), cast_to(ddb0, delta_b0),
+        cast_to(ddw1, delta_w1), cast_to(ddb1, delta_b1),
+        cast_to(dgw0, gamma_w0), cast_to(dgb0, gamma_b0),
+        cast_to(dgw1, gamma_w1), cast_to(dgb1, gamma_b1),
+    )
+
+
+knn_vector_attention_proj.defvjp(_kva_proj_fwd, _kva_proj_bwd)
+
+
+def kv_proj_profitable(m: int, f: int, d: int) -> bool:
+    """Should a featured attention site use project-in-kernel K/V?
+
+    Gather-side MXU flops saved per slot: ``m_pad * saved_lanes`` rows
+    (one (T, M) x (M, lanes) pass per 128 lanes); flops added: the two
+    in-kernel (T, F) x (F, D) projections.  Require a 2x margin so the
+    marginal sites (small kv sets, where the projection cost is not
+    amortised over M) keep the projected-table path."""
+    m_pad = _round_up(m, 128)
+    saved = (_round_up(8 + d, 128) + _round_up(d, 128)
+             - _round_up(8 + f, 128))
+    return m_pad * saved >= 4 * f * d

@@ -420,3 +420,150 @@ def test_prefetch_gather_experiment_matches_onehot():
     from scripts.bench_gather_prefetch import check_equal
 
     assert check_equal(tiles=1, interpret=True)
+
+
+class TestKVProj:
+    """Project-in-kernel K/V mode (``knn_vector_attention_proj``).
+
+    The kernel gathers the RAW kv feature table and computes
+    ``K = feats @ wk`` / ``V = feats @ wv`` in VMEM (one packed gather per
+    slot instead of two; one packed scatter backward) — results must match
+    the projected-table path and the XLA reference math exactly up to dot
+    order.  Used by the encoder's large-M featured sites
+    (``kv_proj_profitable``): the forward net's begin block and the
+    level-0 set abstractions (reference ``model/encoder/blocks.py:52-134,
+    221-313`` semantics are unchanged)."""
+
+    def _setup(self, rng, B, N, d, scale=0.3):
+        xyz = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+        feats = jnp.asarray(rng.randn(B, N, d).astype(np.float32))
+        wq = jnp.asarray(rng.randn(d, d).astype(np.float32) * scale)
+        wk = jnp.asarray(rng.randn(d, d).astype(np.float32) * scale)
+        wv = jnp.asarray(rng.randn(d, d).astype(np.float32) * scale)
+        w = _weights(rng, d)
+        return xyz, feats, wq, wk, wv, w
+
+    def test_forward_matches_projected_table_path(self, rng):
+        B, N, d, k = 2, 150, 12, 6
+        xyz, feats, wq, wk, wv, w = self._setup(rng, B, N, d)
+        q = feats @ wq
+        std = fused_vector_attention(
+            xyz, xyz, q, feats @ wk, feats @ wv, *w,
+            k=k, tile=128, interpret=True,
+        )
+        got = fused_vector_attention(
+            xyz, xyz, q, None, None, *w, k=k, tile=128, interpret=True,
+            kv_feats=feats, wk=wk, wv=wv,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(std), rtol=1e-6, atol=1e-7
+        )
+
+    def test_forward_cross_with_mask(self, rng):
+        # TSA pattern: FPS centres attend to the masked full cloud
+        B, M, S, d, k = 2, 200, 40, 16, 8
+        xyz, feats, wq, wk, wv, w = self._setup(rng, B, M, d)
+        centres = xyz[:, :S]
+        q = (feats @ wq)[:, :S]
+        mask = jnp.asarray((rng.rand(B, M) > 0.3).astype(np.float32))
+        mask = mask.at[:, :k].set(1.0)  # guarantee k selectable
+        std = fused_vector_attention(
+            centres, xyz, q, feats @ wk, feats @ wv, *w,
+            k=k, tile=128, interpret=True, kv_mask=mask,
+        )
+        got = fused_vector_attention(
+            centres, xyz, q, None, None, *w, k=k, tile=128, interpret=True,
+            kv_mask=mask, kv_feats=feats, wk=wk, wv=wv,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(std), rtol=1e-6, atol=1e-7
+        )
+
+    def test_grads_match_xla_reference(self, rng):
+        from nsdp_tpu.ops.attention_pallas import knn_vector_attention_proj
+
+        B, N, d, k = 2, 96, 10, 5
+        xyz, feats, wq, wk, wv, w = self._setup(rng, B, N, d)
+
+        def loss_ref(xyz, feats, wq, wk, wv, *w):
+            out = _ref_attention(
+                xyz, xyz, feats @ wq, feats @ wk, feats @ wv, w, k, False
+            )
+            return jnp.sum(out * out)
+
+        def loss_proj(xyz, feats, wq, wk, wv, *w):
+            out = knn_vector_attention_proj(
+                xyz, xyz, feats @ wq, feats, wk, wv, None, *w, k, 128, True
+            )
+            return jnp.sum(out * out)
+
+        argnums = tuple(range(5 + 8))
+        ref = jax.grad(loss_ref, argnums)(xyz, feats, wq, wk, wv, *w)
+        got = jax.grad(loss_proj, argnums)(xyz, feats, wq, wk, wv, *w)
+        names = ["xyz", "feats", "wq", "wk", "wv"]
+        for i, (r, g) in enumerate(zip(ref, got)):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(r), rtol=1e-3, atol=1e-4,
+                err_msg=f"grad {names[i] if i < 5 else i}",
+            )
+
+    def test_grads_cross_masked_match_projected_path(self, rng):
+        from nsdp_tpu.ops.attention_pallas import (
+            knn_vector_attention, knn_vector_attention_proj)
+
+        B, M, S, d, k = 1, 120, 30, 8, 6
+        xyz, feats, wq, wk, wv, w = self._setup(rng, B, M, d)
+        centres = jnp.asarray(rng.randn(B, S, 3).astype(np.float32))
+        qf = jnp.asarray(rng.randn(B, S, d).astype(np.float32))
+        mask = jnp.asarray((rng.rand(B, M) > 0.25).astype(np.float32))
+        mask = mask.at[:, :k].set(1.0)
+
+        def loss_std(centres, xyz, qf, feats, wk, wv, *w):
+            out = knn_vector_attention(
+                centres, xyz, qf, feats @ wk, feats @ wv,
+                None, None, mask, *w, k, 128, True,
+            )
+            return jnp.sum(out * out)
+
+        def loss_proj(centres, xyz, qf, feats, wk, wv, *w):
+            out = knn_vector_attention_proj(
+                centres, xyz, qf, feats, wk, wv, mask, *w, k, 128, True,
+            )
+            return jnp.sum(out * out)
+
+        argnums = tuple(range(6 + 8))
+        ref = jax.grad(loss_std, argnums)(centres, xyz, qf, feats, wk, wv, *w)
+        got = jax.grad(loss_proj, argnums)(centres, xyz, qf, feats, wk, wv, *w)
+        for i, (r, g) in enumerate(zip(ref, got)):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(r), rtol=1e-4, atol=1e-5,
+                err_msg=f"grad {i}",
+            )
+
+    def test_profitability_rule(self):
+        from nsdp_tpu.ops.attention_pallas import kv_proj_profitable
+
+        # flagship encoder sites (docs/PERFORMANCE.md per-site table)
+        assert kv_proj_profitable(5000, 120, 120)   # featured begin
+        assert kv_proj_profitable(5000, 120, 120)   # TSA level 0
+        assert kv_proj_profitable(500, 120, 120)    # transformer_downs_0
+        assert not kv_proj_profitable(500, 256, 256)   # TSA level 1
+        assert not kv_proj_profitable(100, 256, 256)   # transformer_downs_1
+
+    def test_validation(self, rng):
+        import pytest
+
+        xyz = jnp.asarray(rng.randn(1, 32, 3).astype(np.float32))
+        feats = jnp.asarray(rng.randn(1, 32, 8).astype(np.float32))
+        w8 = jnp.eye(8, dtype=jnp.float32)
+        w = _weights(rng, 8)
+        with pytest.raises(ValueError, match="wk and wv"):
+            fused_vector_attention(
+                xyz, xyz, feats, None, None, *w, k=4, interpret=True,
+                kv_feats=feats,
+            )
+        with pytest.raises(ValueError, match="replaces K_a/V_a"):
+            fused_vector_attention(
+                xyz, xyz, feats, feats, None, *w, k=4, interpret=True,
+                kv_feats=feats, wk=w8, wv=w8,
+            )
