@@ -289,7 +289,21 @@ class TransformerBlock(fnn.Module):
                 )
 
                 q = fnn.Dense(self.d_model, use_bias=False, name="w_qs")(feats)
-                if kv_proj_profitable(n, feats.shape[-1], self.d_model):
+                # The bf16 gate is a hardware workaround, not profitability:
+                # under compute_dtype=bfloat16 this site's proj kernel
+                # crashes the TPU worker (deterministic 3/3 in the round-5
+                # bench, B=16 flagship shapes) while the f32 model — and
+                # every kernel-level micro-repro, including bf16-operand
+                # and in-loop variants — runs clean, as do the bf16 TSA
+                # proj sites below.  Casting the operands f32 at the call
+                # site does NOT help (the wrapper casts f32 regardless), so
+                # the fault is an in-situ Mosaic/XLA interaction of the
+                # surrounding bf16 program, bisected 2026-08-20
+                # (/tmp-level repro scripts recorded in docs/PERFORMANCE.md).
+                # bf16 models keep the projected-table path here — the
+                # round-4 configuration, ~87 ms/step.
+                if (kv_proj_profitable(n, feats.shape[-1], self.d_model)
+                        and feats.dtype == jnp.float32):
                     # project-in-kernel K/V: gather the raw feature table
                     # once per slot instead of separate K and V tables —
                     # halves the dominant (T, M) gathers at large-M sites
